@@ -1,0 +1,139 @@
+"""SimHash pass: 60-bit sign-of-weighted-bit-sums fingerprints + Hamming
+banding.
+
+The reference's second filter pass is a second LSH index type (NLSH→PLSH
+cascade, reference ``lsh.py:476-570``); the dedup engine's second pass is
+SimHash per BASELINE.json north_star ("plus SimHash and suffix-array
+exact-substring passes").
+
+SimHash(doc) bit j = 1 iff Σ_tokens w(t) · (±1 from bit j of hash(t)) > 0,
+with w = token frequency. Near-duplicates differ in few bits; candidate
+pairs = docs agreeing on at least one of 4 15-bit chunks (pigeonhole: any
+pair within Hamming distance ≤ 3 shares a chunk), verified by exact
+popcount.
+
+Two implementations:
+ * ``simhash_docs`` — relational form (explode tokens × bit positions →
+   conditional sum → bit-OR assemble). Fully expressible in ANSI SQL =
+   oracle-checkable; JVM/codegen end-to-end.
+ * ``simhash_docs_arrow`` — mapInArrow NumPy kernel (bit-unpack token hashes
+   into a (n,60) matrix, weighted column sums) — the scale path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_spark.config import DedupConfig
+from lsh_spark.functions.hashing import hash64, np_hash60
+from lsh_spark.functions.text import tokens_col
+
+N_CHUNKS = 4  # hamming_threshold 3 → 4 chunks by pigeonhole
+
+
+def token_weights(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, token_hash, weight=count) long format."""
+    toks = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
+    return (
+        toks.select("doc_id", hash64(F.col("token"), cfg.hash_mode).alias("token_hash"))
+        .groupBy("doc_id", "token_hash")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def simhash_docs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, simhash long) — relational/codegen form.
+
+    bits table = sequence(0, B-1) cross joined via explode; per (doc, bit):
+    s = Σ weight * (bit set ? +1 : -1); simhash = Σ_{bits with s>0} 2^bit.
+    """
+    b = cfg.simhash_bits
+    tw = token_weights(docs, cfg)
+    # static (bit, 2^bit) pairs — bit shifts by a Column aren't supported,
+    # and pow() doubles lose precision at 2^60, so carry exact longs.
+    bit_structs = F.array(*[
+        F.struct(F.lit(i).alias("bit"), F.lit(1 << i).cast("long").alias("p2"))
+        for i in range(b)
+    ])
+    per_bit = (
+        tw.select("doc_id", "token_hash", "weight",
+                  F.explode(bit_structs).alias("bp"))
+        .select("doc_id", "weight", F.col("bp.bit").alias("bit"),
+                F.col("bp.p2").alias("p2"),
+                F.expr("token_hash div bp.p2").alias("shifted"))
+        .withColumn("contrib",
+                    F.when(F.col("shifted") % 2 == 1, F.col("weight"))
+                     .otherwise(-F.col("weight")))
+        .groupBy("doc_id", "bit", "p2")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("s") > 0, F.col("p2")).otherwise(F.lit(0)))
+             .cast("long").alias("simhash"))
+    )
+
+
+def simhash_docs_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Same contract via a NumPy kernel: per batch, unpack each token hash
+    into B sign bits and accumulate weighted sums per doc with one
+    ``np.add.reduceat``-style pass."""
+    bits = cfg.simhash_bits
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        shifts = np.arange(bits, dtype=np.int64)
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, text in enumerate(texts):
+                toks = text.split() if text else []
+                if not toks:
+                    continue
+                uniq, counts = np.unique(np.array(toks), return_counts=True)
+                h = np_hash60(list(uniq))
+                signs = (((h[:, None] >> shifts[None, :]) & 1) * 2 - 1)  # (n, B)
+                s = (signs * counts[:, None]).sum(axis=0)
+                out[i] = int(((s > 0).astype(np.int64) << shifts).sum())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids, pa.string()), pa.array(out, pa.int64())],
+                names=["doc_id", "simhash"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(kernel, "doc_id string, simhash bigint")
+
+
+def simhash_candidate_pairs(sh: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Pairs within Hamming ≤ threshold via chunk banding + popcount verify.
+
+    Output: (doc_a, doc_b, hamming int).
+    """
+    chunk_bits = cfg.simhash_bits // N_CHUNKS
+    mask = (1 << chunk_bits) - 1
+    chunk_vals = F.array(*[
+        F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+        for i in range(N_CHUNKS)
+    ])
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.posexplode(chunk_vals).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.select("chunk_id", "chunk_val",
+                      F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = chunks.select("chunk_id", "chunk_val",
+                      F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    cand = (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= cfg.hamming_threshold)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

@@ -1,0 +1,105 @@
+"""The full dedup cascade: exact → MinHash-LSH → SimHash → substring → CC.
+
+Cascade semantics follow the reference's NLSH→PLSH two-stage filter
+(reference ``lsh.py:476-570``): each pass only contributes edges the earlier
+passes didn't already produce; the union of accepted edges feeds one
+connected-components run. (The reference *removes* candidates rejected by
+pass 1 from pass 2, ``lsh.py:466-471`` — for dedup we keep the
+union-of-evidence semantics instead, which is strictly more conservative
+about false negatives; the subtraction variant is `left_anti` one-liner and
+noted here for parity.)
+
+Stage boundaries are checkpointable (CheckpointStore) so a killed run
+resumes from the last committed stage; each stage is also the natural
+shuffle boundary, so checkpointing does not add shuffles — it only
+truncates lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lsh_spark.canonicalize import conversation_docs, turn_docs
+from lsh_spark.config import DedupConfig
+from lsh_spark.operators import exact_dedup, lsh_bands, minhash, pairs, simhash, suffix
+from lsh_spark.operators.connected_components import connected_components
+from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
+from lsh_spark.plans.checkpoint import CheckpointStore
+
+
+def dedup_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: CheckpointStore | None = None,
+    passes: tuple[str, ...] = ("minhash", "simhash", "substring"),
+) -> DataFrame:
+    """transcripts → (doc_id, cluster_id) near-duplicate clusters.
+
+    Returns only docs that belong to a multi-member cluster; all other docs
+    are singleton clusters of themselves.
+    """
+    cfg = cfg or DedupConfig()
+    docs = (conversation_docs(transcripts) if cfg.granularity == "conv"
+            else turn_docs(transcripts)).select("doc_id", "text")
+
+    def ck(stage: str, thunk):
+        if store is None:
+            return thunk().localCheckpoint()
+        return store.get_or_compute(spark, stage, thunk)
+
+    docs = ck("docs", lambda: docs)
+    hashes = ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg))
+
+    edge_frames: list[DataFrame] = []
+
+    if "minhash" in passes:
+        def minhash_pass():
+            sigs = minhash.minhash_signatures(hashes, cfg)
+            bands = lsh_bands.band_buckets(sigs, cfg)
+            cand = lsh_bands.candidate_pairs(bands, cfg)
+            return pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+        edge_frames.append(ck("edges_minhash", minhash_pass))
+
+    if "simhash" in passes:
+        def simhash_pass():
+            sh = simhash.simhash_docs_arrow(docs, cfg)
+            return (simhash.simhash_candidate_pairs(sh, cfg)
+                    .select("doc_a", "doc_b"))
+        edge_frames.append(ck("edges_simhash", simhash_pass))
+
+    if "substring" in passes:
+        def substring_pass():
+            return (suffix.substring_candidate_pairs(docs, cfg)
+                    .select("doc_a", "doc_b"))
+        edge_frames.append(ck("edges_substring", substring_pass))
+
+    edges = edge_frames[0]
+    for ef in edge_frames[1:]:
+        edges = edges.unionByName(ef)
+    edges = edges.distinct()
+
+    labels = connected_components(edges)
+    if store is not None:
+        labels = store.write(labels, "clusters")
+    return labels
+
+
+def dedup_keep_list(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Docs to KEEP after dedup: cluster minimum per cluster + all
+    singletons (training-data pipeline contract)."""
+    keep_clustered = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
+    singletons = docs.select("doc_id").join(labels.select("doc_id"), "doc_id", "left_anti")
+    return keep_clustered.select("doc_id").unionByName(singletons)
+
+
+def exact_pass(docs: DataFrame) -> DataFrame:
+    """Exact-dup edges (doc → group canonical) for the cascade's pass 0."""
+    groups = exact_dedup.exact_dup_groups(docs)
+    with_hash = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    return (
+        with_hash.join(groups, "text_hash")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.least("doc_id", "canonical_id").alias("doc_a"),
+                F.greatest("doc_id", "canonical_id").alias("doc_b"))
+    )
