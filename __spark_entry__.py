@@ -1,38 +1,840 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions) as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` gives the DuckDB-equivalent SQL. The MinHash/LSH oracles are
+EXACT (not statistical): shingle hashes are md5-derived 60-bit ints and the
+MinHash family is affine over the Mersenne prime 2^31-1 — both reproducible
+bit-for-bit in DuckDB SQL (see lsh_spark/functions/hashing.py).
+
+Transcript queries run over the deterministic synthetic transcripts fixture
+(shape fixed by BASELINE.json input_hint; lsh_spark/synth.py, seed=42) —
+the oracle reads the same parquet file by absolute path.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from lsh_spark import synth
+from lsh_spark.canonicalize import conversation_docs, turn_docs
+from lsh_spark.config import DedupConfig
+from lsh_spark.functions import quality as Q
+from lsh_spark.functions.hashing import M, sql_hash60, sql_perm_table
+from lsh_spark.functions.text import sql_shingles, sql_tokens
+from lsh_spark.functions.vectors import cosine
+from lsh_spark.operators import (
+    exact_dedup, knn, lsh_bands, metrics, minhash, multimodal, pairs, shingle,
+    simhash, suffix, tfidf,
+)
+from lsh_spark.operators.connected_components import connected_components
+from lsh_spark.plans.pipeline import dedup_pipeline
+from lsh_spark.sources.tables import load_table, load_transcripts
+
+# configs pinned for the oracle-checked queries
+CFG16 = DedupConfig(num_perms=16)          # signatures / candidates
+CFG32 = DedupConfig(num_perms=32)          # verified dup pairs / clusters
+JACCARD_T = 0.5
+SUBSTR_K = 20
+KNN_K = 5
+EMB_T = 0.4
+
+T2_TRANSCRIPTS = synth.transcripts_path("t2")
+T2_LABELS = synth.dup_labels_path("t2")
+
+
+# --------------------------------------------------------------------------
+# shared Spark-side builders
+# --------------------------------------------------------------------------
+
+def _docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+
+
+def _conv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversation_docs(load_transcripts(spark, sf_dir)).select("doc_id", "text")
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _conv_docs(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG32)
+    sigs = minhash.minhash_signatures(hashes, CFG32)
+    bands = lsh_bands.band_buckets(sigs, CFG32)
+    cand = lsh_bands.candidate_pairs(bands, CFG32, all_pairs=True)
+    return pairs.verify_pairs(cand, hashes, CFG32.with_(jaccard_threshold=JACCARD_T))
+
+
+# --------------------------------------------------------------------------
+# shared DuckDB oracle fragments
+# --------------------------------------------------------------------------
+
+def _sql_conv_docs(tp: str = T2_TRANSCRIPTS) -> str:
+    return (f"docs AS (SELECT conv_id AS doc_id, "
+            f"string_agg(text, chr(10) ORDER BY turn_idx, ts, text) AS text "
+            f"FROM read_parquet('{tp}') GROUP BY conv_id)")
+
+
+def _sql_doc_documents() -> str:
+    return "docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents)"
+
+
+def _sql_hashed(k: int) -> str:
+    sh = sql_shingles(sql_tokens("text"), k)
+    return (f"sh AS (SELECT doc_id, unnest(list_distinct({sh})) AS shingle FROM docs), "
+            f"hashed AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh)")
+
+
+def _sql_minhash(p: int) -> str:
+    return (f"mh AS (SELECT doc_id, CAST(i AS INT) AS perm_id, "
+            f"min((a * (h % {M}) + b) % {M}) AS minhash "
+            f"FROM hashed CROSS JOIN {sql_perm_table(p)} t GROUP BY doc_id, i)")
+
+
+def _sql_exact_jaccard() -> str:
+    return (
+        "sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter "
+        "FROM hashed x JOIN hashed y ON x.h = y.h AND x.doc_id < y.doc_id "
+        "GROUP BY 1, 2), "
+        "jac AS (SELECT doc_a, doc_b, inter, na.n + nb.n - inter AS un, "
+        "CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard "
+        "FROM inter JOIN sizes na ON inter.doc_a = na.doc_id "
+        "JOIN sizes nb ON inter.doc_b = nb.doc_id)"
+    )
+
+
+def _sql_dot(a: str, b: str, dim: int = 64) -> str:
+    """Left-fold double dot product — same op order as Spark F.aggregate."""
+    return (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
+    d = _sql_dot(a, b, dim)
+    na = _sql_dot(a, a, dim)
+    nb = _sql_dot(b, b, dim)
+    return (f"CASE WHEN sqrt({na}) * sqrt({nb}) > 0 "
+            f"THEN ({d}) / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_canonicalize_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable turn ordering + per-turn text equality invariant (input_hint).
+    canon_pos is the position after canonicalization; text must be
+    byte-identical to the input rows."""
+    tr = load_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    return tr.select(
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "role", "text",
+        (F.row_number().over(w) - 1).cast("int").alias("canon_pos"))
+
+
+def q_conv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = conversation_docs(load_transcripts(spark, sf_dir))
+    return docs.select(
+        "doc_id", F.md5("text").alias("doc_md5"),
+        F.col("n_turns").cast("int").alias("n_turns"),
+        F.length("text").cast("long").alias("n_chars"))
+
+
+def q_exact_dedup_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = turn_docs(load_transcripts(spark, sf_dir))
+    return exact_dedup.exact_dup_groups(docs).select(
+        "text_hash", "canonical_id", "dup_count")
+
+
+def q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsh_spark.functions.text import shingles_col, tokens_col
+    docs = _docs_from_documents(spark, sf_dir)
+    sh = shingles_col(tokens_col(F.col("text")), CFG16.shingle_k)
+    return docs.select(
+        "doc_id",
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG16)
+    return minhash.exploded_signatures(hashes, CFG16)
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _conv_docs(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG16)
+    sigs = minhash.minhash_signatures(hashes, CFG16)
+    bands = lsh_bands.band_buckets(sigs, CFG16)
+    return lsh_bands.candidate_pairs(bands, CFG16, all_pairs=True)
+
+
+def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _verified_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "inter", "union",
+        F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(edges)
+
+
+def q_jaccard_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG16)
+    return pairs.exact_jaccard_pairs(hashes, 0.2).select(
+        "doc_a", "doc_b", "inter", "union", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/RMSE of the MinHash Jaccard estimate vs exact Jaccard over the
+    golden duplicate pairs (reference G10/G11 re-targeted)."""
+    docs = _conv_docs(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG32)
+    sigs = minhash.minhash_signatures(hashes, CFG32)
+    labels = spark.read.parquet(synth.dup_labels_path(
+        synth.tier_for_sf_dir(sf_dir)))
+    sa = sigs.select(F.col("doc_id").alias("conv_id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("conv_id_b"), F.col("sig").alias("sig_b"))
+    ha = hashes.select(F.col("doc_id").alias("conv_id_a"), F.col("hashes").alias("h_a"))
+    hb = hashes.select(F.col("doc_id").alias("conv_id_b"), F.col("hashes").alias("h_b"))
+    est = minhash.estimated_jaccard(F.col("sig_a"), F.col("sig_b"))
+    inter = F.size(F.array_intersect("h_a", "h_b"))
+    un = F.size("h_a") + F.size("h_b") - inter
+    exact = F.when(un > 0, inter / un).otherwise(F.lit(1.0))
+    per_pair = (labels.join(sa, "conv_id_a").join(sb, "conv_id_b")
+                .join(ha, "conv_id_a").join(hb, "conv_id_b")
+                .select(est.alias("est"), exact.alias("exact")))
+    return per_pair.agg(
+        F.round(F.avg(F.abs(F.col("est") - F.col("exact"))), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(F.pow(F.col("est") - F.col("exact"), 2))), 6).alias("rmse"),
+        F.count("*").alias("n_pairs"))
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return simhash.simhash_docs(docs, CFG16)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _conv_docs(spark, sf_dir)
+    sh = simhash.simhash_docs(docs, CFG16)
+    return simhash.simhash_candidate_pairs(sh, CFG16)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn texts (≥ SUBSTR_K tokens) contained verbatim in OTHER
+    conversations' documents."""
+    tr = load_transcripts(spark, sf_dir)
+    from lsh_spark.functions.text import tokens_col
+    inner = (turn_docs(tr)
+             .withColumn("conv", F.substring_index("doc_id", "#", 1))
+             .filter(F.size(tokens_col(F.col("text"))) >= SUBSTR_K))
+    outer = _conv_docs(spark, sf_dir)
+    hit = inner.alias("i").join(
+        outer.alias("o"),
+        (F.col("i.conv") != F.col("o.doc_id"))
+        & F.expr("contains(o.text, i.text)"))
+    return (hit.select(F.col("i.doc_id").alias("inner_id"),
+                       F.col("o.doc_id").alias("outer_id"))
+            .distinct())
+
+
+def q_substring_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _conv_docs(spark, sf_dir)
+    return suffix.substring_candidate_pairs(
+        docs, CFG16.with_(substring_k=SUBSTR_K))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return tfidf.tfidf(docs).select(
+        "doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+
+
+def q_query_max_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return tfidf.query_max_tfidf(docs).select(
+        "token", F.round("max_tfidf", 6).alias("max_tfidf"))
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return Q.doc_quality_stats(docs)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return docs.select("doc_id", Q.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        Q.token_count(F.col("text")).alias("ws_tokens"),
+        Q.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"))
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return knn.knn_bruteforce(emb, probes, k=KNN_K)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (non-bucketed) embedding near-dup pairs — oracle-checkable.
+    The LSH-bucketed variant is q_ann_hyperplane (rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (va.join(vb, F.col("id_a") < F.col("id_b"))
+            .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cos_sim") >= EMB_T)
+            .select("id_a", "id_b", "cos_sim"))
+
+
+def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return knn.ann_hyperplane(emb, probes, k=KNN_K)
+
+
+def q_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: MRR of the golden duplicate partner in the band-agreement-ranked
+    candidate list (reference lsh.py:320-350)."""
+    cand = q_lsh_candidates(spark, sf_dir)
+    labels = spark.read.parquet(synth.dup_labels_path(
+        synth.tier_for_sf_dir(sf_dir)))
+    n_queries = labels.count()
+    w = Window.partitionBy("doc_a").orderBy(F.desc("band_agreement"), F.asc("doc_b"))
+    ranked = cand.withColumn("rank", F.row_number().over(w))
+    hits = (labels.join(ranked,
+                        (labels.conv_id_a == ranked.doc_a)
+                        & (labels.conv_id_b == ranked.doc_b))
+            .groupBy("conv_id_a").agg(F.min("rank").alias("first_rank")))
+    return hits.agg(F.round(F.sum(1.0 / F.col("first_rank")) / F.lit(n_queries), 6)
+                    .alias("mrr"))
+
+
+def q_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: reference confidence formula over jaccard-distance-ranked
+    verified pairs (lsh.py:366-369), top_x=20."""
+    vp = _verified_pairs(spark, sf_dir).withColumn(
+        "distance", F.lit(1.0) - F.col("jaccard"))
+    w = Window.partitionBy("doc_a").orderBy(F.asc("distance"), F.asc("doc_b"))
+    ranked = vp.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    agg = ranked.groupBy(F.col("doc_a").alias("query_id")).agg(
+        F.min(F.when(F.col("rank") == 1, F.col("distance"))).alias("d1"),
+        F.sum(F.when(F.col("rank") > 1, F.col("distance"))).alias("tail"),
+        F.max("rank").alias("x"))
+    return agg.select(
+        "query_id",
+        F.round(F.when((F.col("tail") > 0) & (F.col("x") > 1),
+                       (F.col("x") - 1) * F.col("d1") / F.col("tail"))
+                .otherwise(F.lit(0.0)), 6).alias("confidence"))
+
+
+def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    return multimodal.frame_sample_plan(media, every_ms=1000)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_from_documents(spark, sf_dir)
+    media = multimodal.attach_fake_media(docs)
+    feats = multimodal.extract_features(media)
+    return feats.select("doc_id", "media_type",
+                        F.round(F.element_at("feature", 1), 6).alias("f0"),
+                        F.size("feature").cast("int").alias("dim"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                  .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id")
+            .agg(F.max("sess_id").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (docs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("lang", "doc_id", "n_chars", F.col("rk").cast("int").alias("rk")))
+
+
+def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cascade (MinHash + SimHash + substring → CC). Rows-only check:
+    the union-of-passes edge set is not one SQL expression; per-pass results
+    are oracle-checked individually above."""
+    tr = load_transcripts(spark, sf_dir)
+    return dedup_pipeline(spark, tr, DedupConfig())
+
+
+def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition suffix-array LCS worker (rows-only: partition-dependent
+    discovery; the deterministic single-partition variant is pytest-checked)."""
+    docs = _conv_docs(spark, sf_dir)
+    return suffix.partition_suffix_lcs(docs.coalesce(1), min_chars=120)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full near-duplicate clustering of the sf0.001-tier
+    transcript fixture."""
+    tr = load_transcripts(spark, "/root/testdata/sf0.001")
+    return dedup_pipeline(spark, tr, DedupConfig())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    synth.ensure_all(("t1", "t2"))
+    return {
+        "canonicalize_turns": q_canonicalize_turns,
+        "conv_docs": q_conv_docs,
+        "exact_dedup_turns": q_exact_dedup_turns,
+        "shingle_stats": q_shingle_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
+        "dup_clusters": q_dup_clusters,
+        "jaccard_pairs_exact": q_jaccard_pairs_exact,
+        "minhash_accuracy": q_minhash_accuracy,
+        "simhash_docs": q_simhash_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "containment_pairs": q_containment_pairs,
+        "substring_candidates": q_substring_candidates,
+        "tfidf": q_tfidf,
+        "query_max_tfidf": q_query_max_tfidf,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "token_counts": q_token_counts,
+        "knn_bruteforce": q_knn_bruteforce,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_hyperplane": q_ann_hyperplane,
+        "mrr_lsh": q_mrr_lsh,
+        "confidence": q_confidence,
+        "media_frame_plan": q_media_frame_plan,
+        "media_features": q_media_features,
+        "tpch_q1": q_tpch_q1,
+        "sessionize": q_sessionize,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "dedup_pipeline_full": q_dedup_pipeline_full,
+        "suffix_lcs": q_suffix_lcs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    synth.ensure_all(("t1", "t2"))
+    tp, lp = T2_TRANSCRIPTS, T2_LABELS
+    k = CFG16.shingle_k
+
+    sql: dict[str, str] = {}
+
+    sql["canonicalize_turns"] = f"""
+SELECT conv_id, turn_idx, role, text,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) - 1 AS INT)
+         AS canon_pos
+FROM read_parquet('{tp}')
+"""
+
+    sql["conv_docs"] = f"""
+WITH {_sql_conv_docs(tp)}
+SELECT doc_id, md5(text) AS doc_md5,
+       CAST((SELECT count(*) FROM read_parquet('{tp}') t
+             WHERE t.conv_id = docs.doc_id) AS INT) AS n_turns,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM docs
+"""
+
+    sql["exact_dedup_turns"] = f"""
+WITH t AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id, text
+           FROM read_parquet('{tp}'))
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS dup_count
+FROM t GROUP BY md5(text) HAVING count(*) >= 2
+"""
+
+    shingles_doc = sql_shingles(sql_tokens("text"), k)
+    sql["shingle_stats"] = f"""
+WITH {_sql_doc_documents()}
+SELECT doc_id,
+       CAST(len({shingles_doc}) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct({shingles_doc})) AS BIGINT) AS n_distinct
+FROM docs
+"""
+
+    sql["minhash_signatures"] = f"""
+WITH {_sql_doc_documents()}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)}
+SELECT doc_id, perm_id, minhash FROM mh
+"""
+
+    sql["lsh_candidates"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)}
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(count(*) AS INT) AS band_agreement
+FROM mh x JOIN mh y
+  ON x.perm_id = y.perm_id AND x.minhash = y.minhash AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+"""
+
+    sql["lsh_dup_pairs"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()}
+SELECT doc_a, doc_b, inter, un AS "union", round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jac WHERE jaccard >= {JACCARD_T}
+  UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= {JACCARD_T}
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+    sql["jaccard_pairs_exact"] = f"""
+WITH {_sql_doc_documents()}, {_sql_hashed(k)}, {_sql_exact_jaccard()}
+SELECT doc_a, doc_b, inter, un AS "union", round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.2
+"""
+
+    sql["minhash_accuracy"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG32.num_perms)},
+labels AS (SELECT conv_id_a, conv_id_b FROM read_parquet('{lp}')),
+est AS (
+  SELECT l.conv_id_a, l.conv_id_b,
+         CAST(count(*) FILTER (x.minhash = y.minhash) AS DOUBLE)
+           / {CFG32.num_perms} AS est
+  FROM labels l
+  JOIN mh x ON x.doc_id = l.conv_id_a
+  JOIN mh y ON y.doc_id = l.conv_id_b AND y.perm_id = x.perm_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+ex AS (
+  SELECT l.conv_id_a, l.conv_id_b,
+         CAST((SELECT count(*) FROM hashed ha JOIN hashed hb
+               ON ha.h = hb.h AND ha.doc_id = l.conv_id_a
+               AND hb.doc_id = l.conv_id_b) AS DOUBLE) AS inter,
+         na.n AS n_a, nb.n AS n_b
+  FROM labels l
+  JOIN sizes na ON na.doc_id = l.conv_id_a
+  JOIN sizes nb ON nb.doc_id = l.conv_id_b
+),
+pp AS (
+  SELECT est.est,
+         CASE WHEN (ex.n_a + ex.n_b - ex.inter) > 0
+              THEN ex.inter / (ex.n_a + ex.n_b - ex.inter) ELSE 1.0 END AS exact
+  FROM est JOIN ex ON est.conv_id_a = ex.conv_id_a
+                  AND est.conv_id_b = ex.conv_id_b
+)
+SELECT round(avg(abs(est - exact)), 6) AS mae,
+       round(sqrt(avg((est - exact) * (est - exact))), 6) AS rmse,
+       count(*) AS n_pairs
+FROM pp
+"""
+
+    def simhash_cte(docs_cte: str) -> str:
+        return f"""{docs_cte},
+toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM docs),
+tw AS (SELECT doc_id, {sql_hash60('tok')} AS th, count(*) AS w
+       FROM toks GROUP BY 1, 2),
+bits AS (SELECT unnest(range({CFG16.simhash_bits})) AS bit),
+perbit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> CAST(bit AS INT)) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM tw CROSS JOIN bits GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM perbit GROUP BY doc_id
+)"""
+
+    sql["simhash_docs"] = f"""
+WITH {simhash_cte(_sql_doc_documents())}
+SELECT doc_id, simhash FROM sim
+"""
+
+    sql["simhash_pairs"] = f"""
+WITH {simhash_cte(_sql_conv_docs(tp))}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {CFG16.hamming_threshold}
+"""
+
+    sql["containment_pairs"] = f"""
+WITH {_sql_conv_docs(tp)},
+turns AS (
+  SELECT conv_id, conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id, text
+  FROM read_parquet('{tp}')
+  WHERE len({sql_tokens('text')}) >= {SUBSTR_K}
+)
+SELECT DISTINCT t.doc_id AS inner_id, d.doc_id AS outer_id
+FROM turns t JOIN docs d
+  ON t.conv_id <> d.doc_id AND contains(d.text, t.text)
+"""
+
+    grams = sql_shingles(sql_tokens("text"), SUBSTR_K)
+    sql["substring_candidates"] = f"""
+WITH {_sql_conv_docs(tp)},
+g AS (SELECT doc_id, {sql_hash60('gram')} AS gh
+      FROM (SELECT doc_id, unnest(list_distinct({grams})) AS gram FROM docs))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_grams
+FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+    sql["tfidf"] = f"""
+WITH {_sql_doc_documents()},
+toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM docs),
+counts AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM docs),
+dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT c.doc_id, c.token,
+       round((CAST(c.n AS DOUBLE) / l.len) * log2(CAST(nd.nd AS DOUBLE) / d.df), 6)
+         AS tfidf
+FROM counts c JOIN lens l ON c.doc_id = l.doc_id
+JOIN dfq d ON c.token = d.token CROSS JOIN nd
+"""
+
+    sql["query_max_tfidf"] = f"""
+WITH {_sql_doc_documents()},
+toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM docs),
+counts AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM docs),
+dfq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+tfidf AS (
+  SELECT c.token,
+         (CAST(c.n AS DOUBLE) / l.len) * log2(CAST(nd.nd AS DOUBLE) / d.df) AS v
+  FROM counts c JOIN lens l ON c.doc_id = l.doc_id
+  JOIN dfq d ON c.token = d.token CROSS JOIN nd
+)
+SELECT token, round(max(v), 6) AS max_tfidf FROM tfidf GROUP BY token
+"""
+
+    toks = sql_tokens("text")
+    toks_lower = sql_tokens("lower(text)")
+    stop_list = "[" + ", ".join(f"'{s}'" for s in Q.STOPWORDS) + "]"
+    sql["doc_quality"] = f"""
+WITH {_sql_doc_documents()},
+s AS (
+  SELECT doc_id, text,
+         CAST(len({toks}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                   / length(text) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len({toks_lower}) > 0
+              THEN CAST(len(list_filter({toks_lower}, t -> list_contains({stop_list}, t))) AS DOUBLE)
+                   / len({toks_lower}) ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len({toks}) > 0
+              THEN CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+                   / len({toks}) ELSE 0.0 END AS mean_token_len
+  FROM docs
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 0.4
+               WHEN n_tokens > 0 THEN 0.1 ELSE 0.0 END)
+         + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.1 END), 6) AS quality_score,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM s
+"""
+
+    lang_cases = []
+    for lang in sorted(Q.LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{m}'" for m in Q.LANG_MARKERS[lang]) + "]"
+        lang_cases.append(
+            f"CASE WHEN len({toks_lower}) > 0 THEN "
+            f"CAST(len(list_filter({toks_lower}, t -> list_contains({markers}, t))) AS DOUBLE)"
+            f" / len({toks_lower}) ELSE 0.0 END AS s_{lang}")
+    langs_sorted = sorted(Q.LANG_MARKERS)
+    struct_list = ", ".join(
+        f"{{'score': s_{lg}, 'lang': '{lg}'}}" for lg in langs_sorted)
+    sql["lang_id"] = f"""
+WITH {_sql_doc_documents()},
+scored AS (SELECT doc_id, {', '.join(lang_cases)} FROM docs),
+best AS (
+  SELECT doc_id, list_max([{struct_list}]) AS b FROM scored
+)
+SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+    sql["token_counts"] = f"""
+WITH {_sql_doc_documents()}
+SELECT doc_id,
+       CAST(len({toks}) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+         AS bpe_ish_tokens
+FROM docs
+"""
+
+    cos = _sql_cosine("p.embedding", "c.embedding")
+    sql["knn_bruteforce"] = f"""
+WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cos_sim
+  FROM p JOIN c ON p.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {KNN_K}
+"""
+
+    cos_ab = _sql_cosine("a.embedding", "b.embedding")
+    sql["embedding_near_dups"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= {EMB_T}
+"""
+
+    sql["mrr_lsh"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)},
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS band_agreement
+  FROM mh x JOIN mh y
+    ON x.perm_id = y.perm_id AND x.minhash = y.minhash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_a, doc_b,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY band_agreement DESC, doc_b ASC) AS rank
+  FROM cand
+),
+labels AS (SELECT conv_id_a, conv_id_b FROM read_parquet('{lp}')),
+hits AS (
+  SELECT l.conv_id_a, min(r.rank) AS first_rank
+  FROM labels l JOIN ranked r
+    ON r.doc_a = l.conv_id_a AND r.doc_b = l.conv_id_b
+  GROUP BY 1
+)
+SELECT round(sum(1.0 / first_rank) / (SELECT count(*) FROM labels), 6) AS mrr
+FROM hits
+"""
+
+    sql["confidence"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
+vp AS (SELECT doc_a, doc_b, 1.0 - jaccard AS distance FROM jac
+       WHERE jaccard >= {JACCARD_T}),
+ranked AS (
+  SELECT doc_a, distance,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY distance ASC, doc_b ASC) AS rank
+  FROM vp
+),
+agg AS (
+  SELECT doc_a AS query_id,
+         min(CASE WHEN rank = 1 THEN distance END) AS d1,
+         sum(CASE WHEN rank > 1 THEN distance END) AS tail,
+         max(rank) AS x
+  FROM ranked WHERE rank <= 20 GROUP BY 1
+)
+SELECT query_id,
+       round(CASE WHEN tail > 0 AND x > 1 THEN (x - 1) * d1 / tail
+                  ELSE 0.0 END, 6) AS confidence
+FROM agg
+"""
+
+    sql["media_frame_plan"] = """
+WITH docs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+m AS (SELECT doc_id, CAST(length(text) * 10 AS INT) AS duration_ms FROM docs),
+n AS (SELECT doc_id, greatest(1, duration_ms // 1000) AS n_frames FROM m)
+SELECT doc_id, CAST(unnest(range(n_frames)) AS INT) AS frame_idx,
+       CAST(unnest(range(n_frames)) * 1000 AS INT) AS ts_ms
+FROM n
+"""
+
+    sql["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["sessionize"] = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM lagged
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+    sql["top_docs_per_lang"] = """
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars, rk FROM ranked WHERE rk <= 3
+"""
+
+    return sql

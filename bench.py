@@ -1,0 +1,148 @@
+"""Benchmark harness: headline dedup queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <pipeline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "turns": N, "turns_per_sec": ...,
+   "scaling": {"cores_n": 8, "cores_4n": 32, "sec_n": ..., "sec_4n": ...,
+               "speedup": ..., "efficiency": ...}}
+
+Scaling evidence per BASELINE.md: the same dedup job at local[8] vs
+local[32] on the same input (sandbox stand-in for N vs 4N executors);
+efficiency = (t_N / t_4N) / 4.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), LSH_BENCH_SKIP_SCALING=1 to skip the
+two-session scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from lsh_spark import synth  # noqa: E402
+from lsh_spark.canonicalize import conversation_docs, turn_docs  # noqa: E402
+from lsh_spark.config import DedupConfig  # noqa: E402
+from lsh_spark.operators import exact_dedup, knn, lsh_bands, minhash, pairs, simhash, suffix, tfidf  # noqa: E402
+from lsh_spark.operators.shingle import doc_shingle_hashes_arrow  # noqa: E402
+from lsh_spark.plans.pipeline import dedup_pipeline  # noqa: E402
+from lsh_spark.session import get_spark  # noqa: E402
+from lsh_spark.sources.tables import load_table, load_transcripts  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CFG = DedupConfig(hash_mode="fast")  # xxhash-based: the scale configuration
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_queries(spark) -> tuple[dict, int]:
+    tr = load_transcripts(spark, SF_DIR).localCheckpoint()
+    n_turns = tr.count()
+    docs = conversation_docs(tr).select("doc_id", "text").localCheckpoint()
+    timings: dict[str, float] = {}
+
+    hashes_ref: dict = {}
+
+    def q_shingle():
+        h = doc_shingle_hashes_arrow(docs, CFG).localCheckpoint()
+        h.count()
+        hashes_ref["h"] = h
+    timings["shingle_hashes"] = _timed(q_shingle)
+    hashes = hashes_ref["h"]
+
+    sigs_ref: dict = {}
+
+    def q_minhash():
+        s = minhash.minhash_signatures(hashes, CFG).localCheckpoint()
+        s.count()
+        sigs_ref["s"] = s
+    timings["minhash_signatures"] = _timed(q_minhash)
+    sigs = sigs_ref["s"]
+
+    def q_pairs():
+        bands = lsh_bands.band_buckets(sigs, CFG)
+        cand = lsh_bands.candidate_pairs(bands, CFG)
+        pairs.verify_pairs(cand, hashes, CFG).count()
+    timings["lsh_candidates_verify"] = _timed(q_pairs)
+
+    timings["exact_dedup_turns"] = _timed(
+        lambda: exact_dedup.exact_dup_groups(turn_docs(tr)).count())
+    timings["simhash_pass"] = _timed(
+        lambda: simhash.simhash_candidate_pairs(
+            simhash.simhash_docs_arrow(docs, CFG), CFG).count())
+    timings["substring_pass"] = _timed(
+        lambda: suffix.substring_candidate_pairs(docs, CFG).count())
+    timings["tfidf_docs"] = _timed(
+        lambda: tfidf.tfidf(docs.limit(5000)).count())
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    timings["knn_bruteforce"] = _timed(
+        lambda: knn.knn_bruteforce(emb, emb.filter(F.col("vec_id") < 50), k=10).count())
+    timings["ann_hyperplane"] = _timed(
+        lambda: knn.ann_hyperplane(emb, emb.filter(F.col("vec_id") < 50), k=10).count())
+    return timings, n_turns
+
+
+def run_pipeline_once(cores: int) -> float:
+    spark = get_spark(f"bench_pipeline_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8))
+    try:
+        tr = load_transcripts(spark, SF_DIR)
+        t0 = time.time()
+        dedup_pipeline(spark, tr, CFG).count()
+        return round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+
+
+def main():
+    tier = synth.tier_for_sf_dir(SF_DIR)
+    synth.generate_tier(tier)
+    sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+
+    spark = get_spark("bench_queries", cores=CORES, shuffle_partitions=CORES)
+    try:
+        timings, n_turns = run_queries(spark)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "dedup_pipeline_wall_sec",
+        "unit": "sec",
+        "sf": float(sf),
+        "turns": n_turns,
+        "queries": timings,
+    }
+
+    pipe_4n = run_pipeline_once(CORES)
+    result["value"] = pipe_4n
+    result["turns_per_sec"] = round(n_turns / pipe_4n, 1)
+
+    if os.environ.get("LSH_BENCH_SKIP_SCALING") != "1":
+        n_cores = max(2, CORES // 4)
+        pipe_n = run_pipeline_once(n_cores)
+        speedup = round(pipe_n / pipe_4n, 3)
+        result["scaling"] = {
+            "cores_n": n_cores, "cores_4n": CORES,
+            "sec_n": pipe_n, "sec_4n": pipe_4n,
+            "speedup": speedup,
+            "efficiency": round(speedup / (CORES / n_cores), 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns: brute-force + LSH-bucketed ANN.
+
+Not in the reference (its cosine similarity is a per-pair verifier,
+``matching_algorithms.py:34-52``); these are the training-data-pipeline
+similarity-search operators the engine adds (embedding-cosine near-dup /
+nearest-neighbor retrieval).
+
+* ``knn_bruteforce`` — exact top-k per probe: broadcast the (small) probe
+  set against the corpus, JVM-side cosine, window top-k. The corpus side
+  never shuffles: broadcast join + per-partition partial top-k via AQE.
+  This is the correctness baseline.
+* ``ann_hyperplane`` — scale path: random-hyperplane LSH (sign bits of
+  R seeded Gaussian projections, computed in one mapInArrow matmul),
+  candidates = bucket collisions (optionally multi-probe), exact rerank of
+  candidates only. At 100 TB the bucket join replaces the cross join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lsh_spark.functions.vectors import cosine
+
+ANN_SEED = 20240101
+
+
+def knn_bruteforce(corpus: DataFrame, probes: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per probe (probe != neighbor).
+
+    Output: (query_id, neighbor_id, cos_sim double, rank int).
+    Ties broken by neighbor_id for determinism.
+    """
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(p), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_signs(vectors: DataFrame, n_planes: int = 8, n_tables: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, table_id, bucket): multi-table random-hyperplane LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` sign bits each —
+    the standard recall knob (per-table collision p = (1-θ/π)^n_planes;
+    union over tables). One NumPy matmul per Arrow batch computes ALL
+    tables at once; the projection matrix is regenerated identically on
+    every executor from a fixed seed (a few KB — cheaper than a broadcast).
+    """
+    total = n_planes * n_tables
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        planes = None
+        shifts = np.arange(n_planes, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            vecs = batch.column(1)
+            flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+            d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
+            mat = flat.reshape(-1, d)
+            if planes is None:
+                rng = np.random.default_rng(ANN_SEED)
+                planes = rng.standard_normal((d, total))
+            signs = (mat @ planes) > 0                      # (n, total)
+            signs = signs.reshape(len(mat), n_tables, n_planes).astype(np.int64)
+            buckets = (signs << shifts).sum(axis=2)         # (n, n_tables)
+            n = len(mat)
+            out_ids = np.repeat(ids, n_tables)
+            out_tables = np.tile(np.arange(n_tables, dtype=np.int32), n)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()),
+                 pa.array(out_tables, pa.int32()),
+                 pa.array(buckets.ravel(), pa.int64())],
+                names=["vec_id", "table_id", "bucket"])
+
+    return vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col)) \
+                  .mapInArrow(kernel, "vec_id long, table_id int, bucket bigint")
+
+
+def ann_hyperplane(corpus: DataFrame, probes: DataFrame, k: int = 5,
+                   n_planes: int = 6, n_tables: int = 12,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: multi-table hyperplane-bucket candidates + exact
+    rerank of candidates only. Recall is tested against ``knn_bruteforce``.
+    """
+    cb = hyperplane_signs(corpus, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
+    pb = hyperplane_signs(probes, n_planes, n_tables, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed("vec_id", "query_id")
+    cand = (
+        pb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 8, n_tables: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bucketed, then exact-verified).
+
+    Output: (id_a, id_b, cos_sim).
+    """
+    b = hyperplane_signs(vectors, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
+    la = b.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
+    lb = b.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
+    cand = (la.join(lb, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,124 @@
+"""kNN/ANN, TF-IDF, metrics, quality, multimodal unit tests."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from lsh_spark.config import DedupConfig
+from lsh_spark.operators import knn, metrics, multimodal, tfidf
+from lsh_spark.operators.shingle import explode_shingles, doc_shingle_hashes
+
+
+def test_knn_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = knn.knn_bruteforce(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    v = vecs.astype(np.float64)
+    sims = (v @ v[0]) / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    sims[0] = -np.inf
+    expected = list(np.argsort(-sims)[:3])
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] == expected
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    bf = knn.knn_bruteforce(emb, probes, k=5).collect()
+    # neighbors in this corpus are far (cos≈0.4-0.5) → aggressive config;
+    # per-table p=(1-θ/π)^4 ≈ 0.2, union over 32 tables ≈ 1
+    ann = knn.ann_hyperplane(emb, probes, k=5, n_planes=4, n_tables=32).collect()
+    bf_set = {(r["query_id"], r["neighbor_id"]) for r in bf}
+    ann_set = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(bf_set & ann_set) / len(bf_set) >= 0.8
+
+
+def test_embedding_near_dups_symmetry(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = knn.embedding_near_dups(df, threshold=0.99, n_planes=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c")], "doc_id string, text string")
+    got = {(r["doc_id"], r["token"]): r["tfidf"]
+           for r in tfidf.tfidf(docs).collect()}
+    # idf(a)=log2(2/2)=0; idf(b)=idf(c)=log2(2/1)=1
+    assert got[("d1", "a")] == 0.0
+    assert math.isclose(got[("d1", "b")], 1 / 3)
+    assert math.isclose(got[("d2", "c")], 1 / 2)
+
+
+def test_filter_common_shingles(spark):
+    cfg = DedupConfig(shingle_k=1)
+    docs = spark.createDataFrame(
+        [("d1", "common rare1"), ("d2", "common rare2"), ("d3", "common rare3")],
+        "doc_id string, text string")
+    long = explode_shingles(doc_shingle_hashes(docs, cfg))
+    kept = tfidf.filter_common_shingles(long, max_df_frac=0.5, n_docs=3)
+    assert kept.count() == 3  # only the rare shingles survive
+
+
+def test_mrr_mae_rmse(spark):
+    ranked = spark.createDataFrame(
+        [("q1", "r1", 1), ("q1", "r2", 2), ("q2", "r9", 1), ("q2", "r3", 2)],
+        "query_id string, result_id string, rank int")
+    labels = spark.createDataFrame(
+        [("q1", "r2"), ("q2", "r3"), ("q3", "r5")],
+        "query_id string, expected_id string")
+    got = metrics.mrr(ranked, labels).first()["mrr"]
+    assert math.isclose(got, (0.5 + 0.5 + 0.0) / 3)
+
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 1.0)], "a double, b double")
+    m = metrics.mae_rmse(df, "a", "b").first()
+    assert math.isclose(m["mae"], 1.5)
+    assert math.isclose(m["rmse"], math.sqrt((1 + 4) / 2))
+
+
+def test_confidence_formula(spark):
+    # one query, 3 candidates with distances 1, 2, 3 → C = (3-1)*1/(2+3)
+    ranked = spark.createDataFrame(
+        [("q", "a", 1.0, 1), ("q", "b", 2.0, 2), ("q", "c", 3.0, 3)],
+        "query_id string, result_id string, distance double, rank int")
+    got = metrics.confidence(ranked).first()
+    assert math.isclose(got["confidence"], 2 * 1.0 / 5.0)
+
+
+def test_confidence_clip_and_training(spark):
+    conf = spark.createDataFrame(
+        [("q1", 0.9), ("q2", 0.3)], "query_id string, confidence double")
+    correctness = spark.createDataFrame(
+        [("q1", True), ("q2", False)], "query_id string, top1_correct boolean")
+    thr = metrics.train_confidence_threshold(conf, correctness).first()["threshold"]
+    assert thr == 0.3
+    ranked = spark.createDataFrame(
+        [("q1", "x", 1), ("q2", "y", 1)], "query_id string, result_id string, rank int")
+    kept = metrics.clip_by_confidence(ranked, conf, thr).collect()
+    assert {r["query_id"] for r in kept} == {"q1"}
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = spark.createDataFrame([("d1", "hello"), ("d2", "world")],
+                                 "doc_id string, text string")
+    media = multimodal.attach_fake_media(docs)
+    f1 = {r["doc_id"]: r["feature"]
+          for r in multimodal.extract_features(media).collect()}
+    f2 = {r["doc_id"]: r["feature"]
+          for r in multimodal.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x <= 1.0 for v in f1.values() for x in v)
+
+
+def test_frame_plan_counts(spark):
+    docs = spark.createDataFrame([("d1", "x" * 350)], "doc_id string, text string")
+    media = multimodal.attach_fake_media(docs)  # duration = 3500ms
+    plan = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert len(plan) == 3
+    assert [r["ts_ms"] for r in sorted(plan, key=lambda r: r["frame_idx"])] == [0, 1000, 2000]
