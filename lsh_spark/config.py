@@ -44,6 +44,10 @@ class DedupConfig:
 
     # suffix / exact-substring pass
     substring_k: int = 20       # tokens of exact overlap that count as dup-ish
+    # content-defined gram sampling for the substring pass (None = dense/
+    # exact; w keeps grams with hash%w==0 — both docs of a shared span
+    # select the same grams, miss prob (1-1/w)^span_grams)
+    substring_sample_mod: int | None = None
 
     # skew handling (north_rule: salted groupBy for hot buckets)
     hot_bucket_cap: int = 200   # buckets larger than this are star-linked

@@ -22,10 +22,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50,
+                         small_graph_partitions: int = 8,
+                         small_graph_edges: int = 2_000_000) -> DataFrame:
     """(doc_a, doc_b) edges → (doc_id, cluster_id) with cluster_id = min
     member. Singletons are not emitted (docs absent from ``pairs`` are their
-    own cluster by definition)."""
+    own cluster by definition).
+
+    Verified-duplicate edge sets are typically tiny relative to the corpus
+    (clusters are near-cliques of 2-5 docs); when the edge count is below
+    ``small_graph_edges`` the loop runs on ``small_graph_partitions``
+    partitions so each iteration is a handful of tasks instead of
+    shuffle_partitions-many — the per-iteration scheduling overhead is the
+    serial term of the whole pipeline's Amdahl fraction. Above the cutoff
+    the natural partitioning is kept (the 10^12-turn path).
+    """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -33,6 +44,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= small_graph_edges:
+        edges = edges.coalesce(small_graph_partitions).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

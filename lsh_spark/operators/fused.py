@@ -1,0 +1,127 @@
+"""Fused single-scan document kernel: one Arrow pass over the text column
+producing everything every dedup pass needs.
+
+At 100 TB the dominant cost of the cascade is scanning/shipping the text
+column; running shingle, SimHash and substring extraction as three separate
+mapInArrow stages ships the corpus through Arrow/Python three times and
+adds three checkpoint barriers. This kernel computes, in ONE pass:
+
+  * distinct k-shingle rolling hashes  (MinHash pass input / verification)
+  * the MinHash signature itself       (affine family, NumPy matrix min)
+  * the 60-bit SimHash                 (weighted sign bits of token hashes)
+  * sampled substring-k gram hashes    (content-defined hash%w==0 sampling)
+
+Token hashing is vocabulary-sized (pandas factorize + blake2b per distinct
+token per batch); everything downstream is NumPy over int64/uint64 arrays.
+The reference's analog is three separate index builds over the same corpus
+(NLSH + PLSH + TF-IDF, ``lsh.py:442-444``, ``scripts/tfidf_exec.py``) — a
+3× scan it could not avoid single-threaded either.
+
+Output schema: doc_id, hashes array<bigint>, sig array<bigint>,
+simhash bigint, grams array<bigint>. Docs with < k tokens keep empty
+hashes/grams and sig of NULL (dropped by the minhash pass).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+
+from lsh_spark.config import DedupConfig
+from lsh_spark.functions.hashing import M, minhash_params
+from lsh_spark.operators.shingle import _HORNER_MULT, _MASK60, _token_hashes
+
+FUSED_SCHEMA = ("doc_id string, hashes array<bigint>, sig array<bigint>, "
+                "simhash bigint, grams array<bigint>")
+
+
+def _rolling(seg: np.ndarray, k: int) -> np.ndarray:
+    """Distinct k-gram Horner hashes of one token-hash segment (uint64)."""
+    m = len(seg) - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64)
+    gh = np.zeros(m, np.uint64)
+    for j in range(k):
+        gh = gh * _HORNER_MULT + seg[j:j + m]
+    return gh & _MASK60
+
+
+def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(doc_id, text) → fused feature frame (see module docstring)."""
+    k, gk = cfg.shingle_k, cfg.substring_k
+    sample = cfg.substring_sample_mod
+    bits = cfg.simhash_bits
+    a_vec, b_vec = minhash_params(cfg.num_perms)
+    n_perms = cfg.num_perms
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        shifts = np.arange(bits, dtype=np.uint64)
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            tok_lists = [t.split() if t else [] for t in texts]
+            th, lens = _token_hashes(tok_lists)
+
+            shingle_out: list[np.ndarray] = []
+            gram_out: list[np.ndarray] = []
+            sig_flat: list[np.ndarray] = []
+            sig_valid: list[bool] = []
+            simhashes = np.zeros(len(texts), np.int64)
+
+            pos = 0
+            for i, n in enumerate(lens):
+                seg = th[pos:pos + n]
+                pos += n
+                # shingles (k) — distinct
+                sh = np.unique(_rolling(seg, k)) if n >= k else np.empty(0, np.uint64)
+                shingle_out.append(sh.astype(np.int64))
+                # substring grams (gk), sampled content-defined
+                if n >= gk:
+                    g = _rolling(seg, gk)
+                    if sample:
+                        g = g[g % np.uint64(sample) == 0]
+                    gram_out.append(np.unique(g).astype(np.int64))
+                else:
+                    gram_out.append(np.empty(0, np.int64))
+                # minhash signature over shingle hashes
+                if len(sh):
+                    xr = sh.astype(np.int64) % M
+                    sig = ((a_vec[:, None] * xr[None, :] + b_vec[:, None]) % M).min(axis=1)
+                    sig_flat.append(sig)
+                    sig_valid.append(True)
+                else:
+                    sig_valid.append(False)
+                # simhash over token frequencies
+                if n:
+                    uniq, counts = np.unique(seg, return_counts=True)
+                    signs = (((uniq[:, None] >> shifts[None, :]) & np.uint64(1))
+                             .astype(np.int64) * 2 - 1)
+                    s = (signs * counts[:, None]).sum(axis=0)
+                    simhashes[i] = int(((s > 0).astype(np.uint64) << shifts).sum())
+
+            def list_col(arrs):
+                offsets = np.zeros(len(arrs) + 1, np.int64)
+                np.cumsum([len(x) for x in arrs], out=offsets[1:])
+                flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+                return pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
+
+            # sig column: null for docs without shingles
+            sig_arrays, si = [], 0
+            for ok in sig_valid:
+                sig_arrays.append(sig_flat[si] if ok else None)
+                if ok:
+                    si += 1
+            sig_col = pa.array(
+                [s.tolist() if s is not None else None for s in sig_arrays],
+                pa.list_(pa.int64()))
+
+            yield pa.RecordBatch.from_arrays(
+                [doc_ids, list_col(shingle_out), sig_col,
+                 pa.array(simhashes, pa.int64()), list_col(gram_out)],
+                names=["doc_id", "hashes", "sig", "simhash", "grams"])
+
+    return docs.select("doc_id", "text").mapInArrow(kernel, FUSED_SCHEMA)

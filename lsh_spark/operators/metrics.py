@@ -92,6 +92,25 @@ def clip_by_confidence(ranked: DataFrame, conf: DataFrame, threshold: float,
     return ranked.join(F.broadcast(keep), query_col, "left_semi")
 
 
+def distance_to_similarity(dist):
+    """A10: the reference's distance→similarity normalization
+    sim = min(100, e^(1/d) − 1) (``matching_algorithms.py:431-447``,
+    formula at 443). Column-in, Column-out."""
+    return F.least(F.lit(100.0), F.exp(1.0 / dist) - 1.0)
+
+
+def save_threshold(value: float, path: str) -> None:
+    """S12: trained-threshold artifact sink (reference ``utils.py:33-49``
+    writes a single float to a text file; we keep the same contract)."""
+    with open(path, "w") as f:
+        f.write(repr(float(value)))
+
+
+def load_threshold(path: str) -> float:
+    with open(path) as f:
+        return float(f.read().strip())
+
+
 def rank_results(scored: DataFrame, query_col: str, score_col: str,
                  ascending: bool = True, top_x: int | None = None) -> DataFrame:
     """O1/O2: per-query ranking + top-X cut (reference

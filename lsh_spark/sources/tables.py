@@ -40,3 +40,13 @@ def load_dup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier = synth.tier_for_sf_dir(sf_dir)
     synth.generate_tier(tier)
     return spark.read.parquet(synth.dup_labels_path(tier))
+
+
+def quarantine_filter(df: DataFrame, bad_ids, id_col: str = "conv_id") -> DataFrame:
+    """Drop rows whose id is on a quarantine list (reference analog: the
+    hardcoded broken-WAV skip list, ``loader.py:148-159`` — S6). Accepts a
+    Python list (broadcast literal) or a DataFrame (anti-join)."""
+    from pyspark.sql import functions as F
+    if isinstance(bad_ids, DataFrame):
+        return df.join(F.broadcast(bad_ids.select(id_col)), id_col, "left_anti")
+    return df.filter(~F.col(id_col).isin(list(bad_ids)))

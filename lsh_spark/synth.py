@@ -34,9 +34,11 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 
 # tier name -> number of base conversations
 TIERS = {
-    "t1": 200,       # smoke (sf0.001)
-    "t2": 2000,      # correctness (sf0.01)
-    "bench": 50000,  # throughput (sf0.1)
+    "t1": 200,        # smoke (sf0.001)
+    "t2": 2000,       # correctness (sf0.01)
+    "bench": 50000,   # throughput (sf0.1)
+    "scale": 150000,  # N-vs-4N scaling evidence (compute-dominated)
+    "xl": 450000,     # one-off scaling evidence run (~4.1M turns)
 }
 SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 

@@ -1,0 +1,66 @@
+"""Fast (scale) hash mode: rolling-hash gram kernel + sampled substring."""
+
+from __future__ import annotations
+
+from lsh_spark.config import DedupConfig
+from lsh_spark.operators.shingle import doc_shingle_hashes, doc_shingle_hashes_arrow, gram_hashes_fast
+from lsh_spark.operators import suffix
+from lsh_spark.plans.pipeline import dedup_pipeline
+
+
+def test_rolling_gram_hashes_detect_shared_span(spark):
+    span = " ".join(f"s{i}" for i in range(30))
+    rows = [("a", "p1 p2 " + span + " q1"),
+            ("b", "z1 z2 z3 " + span + " y1"),
+            ("c", " ".join(f"u{i}" for i in range(40)))]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    g = {r["doc_id"]: set(r["hashes"])
+         for r in gram_hashes_fast(docs, 20).collect()}
+    assert len(g["a"] & g["b"]) == 11  # 30-token span, k=20
+    assert not g["a"] & g["c"]
+
+
+def test_sampled_substring_pass_is_subset_of_dense(spark):
+    span = " ".join(f"s{i}" for i in range(120))  # long span → sampling-safe
+    rows = [("a", "h1 h2 " + span), ("b", span + " t1 t2"),
+            ("c", " ".join(f"u{i}" for i in range(150)))]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    cfg = DedupConfig(hash_mode="fast")
+    dense = {(r["doc_a"], r["doc_b"]) for r in
+             suffix.substring_candidate_pairs(docs, cfg, sample_mod=None).collect()}
+    sampled = {(r["doc_a"], r["doc_b"]) for r in
+               suffix.substring_candidate_pairs(docs, cfg, sample_mod=8).collect()}
+    assert sampled <= dense
+    assert ("a", "b") in sampled  # 101 shared grams → miss prob (7/8)^101
+
+
+def test_fast_shingle_consistency_builtin_vs_arrow(spark):
+    """fast-mode hash values differ between builtin (xxhash of gram string)
+    and arrow (rolling over token hashes) by design — but pair SEMANTICS
+    (set sizes, intersections) must agree."""
+    rows = [("a", " ".join(f"w{i}" for i in range(50))),
+            ("b", " ".join(f"w{i}" for i in range(5, 55)))]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    cfg = DedupConfig(hash_mode="fast")
+    built = {r["doc_id"]: set(r["hashes"])
+             for r in doc_shingle_hashes(docs, cfg).collect()}
+    arrow = {r["doc_id"]: set(r["hashes"])
+             for r in doc_shingle_hashes_arrow(docs, cfg).collect()}
+    for d in ("a", "b"):
+        assert len(built[d]) == len(arrow[d])
+    assert (len(built["a"] & built["b"])
+            == len(arrow["a"] & arrow["b"]))
+
+
+def test_fast_pipeline_recall(spark, t1_transcripts, t1_labels):
+    cfg = DedupConfig(hash_mode="fast", substring_sample_mod=8)
+    lab = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_pipeline(spark, t1_transcripts, cfg).collect()}
+    golden = t1_labels.collect()
+    eligible = [g for g in golden
+                if g["jaccard_true"] >= cfg.jaccard_threshold
+                or g["mutation"] == "substring"]
+    caught = sum(1 for g in eligible
+                 if lab.get(g["conv_id_a"]) is not None
+                 and lab.get(g["conv_id_a"]) == lab.get(g["conv_id_b"]))
+    assert caught == len(eligible)
