@@ -28,10 +28,18 @@ def verify_pairs(pairs: DataFrame, doc_hashes: DataFrame,
 
     Output: (doc_a, doc_b, band_agreement, inter, union, jaccard).
     """
-    sets_a = doc_hashes.select(F.col("doc_id").alias("doc_a"),
-                               F.col("hashes").alias("h_a"))
-    sets_b = doc_hashes.select(F.col("doc_id").alias("doc_b"),
-                               F.col("hashes").alias("h_b"))
+    # semi-join prefilter: only docs that appear in a candidate pair need
+    # their (large) shingle arrays shuffled — after LSH pruning that is a
+    # small fraction of the corpus, so this cuts the verify shuffle volume
+    # by roughly the inverse of the candidate rate
+    cand_docs = (pairs.select(F.col("doc_a").alias("doc_id"))
+                 .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    needed = doc_hashes.join(cand_docs, "doc_id", "left_semi")
+    sets_a = needed.select(F.col("doc_id").alias("doc_a"),
+                           F.col("hashes").alias("h_a"))
+    sets_b = needed.select(F.col("doc_id").alias("doc_b"),
+                           F.col("hashes").alias("h_b"))
     scored = (
         pairs.join(sets_a, "doc_a").join(sets_b, "doc_b")
         .withColumn("inter", F.size(F.array_intersect("h_a", "h_b")).cast("long"))

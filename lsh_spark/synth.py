@@ -139,7 +139,7 @@ def generate_tier(tier: str, force: bool = False) -> str:
     tpath, lpath = transcripts_path(tier), dup_labels_path(tier)
     if not force and os.path.exists(tpath) and os.path.exists(lpath):
         return tpath
-    n_base = int(os.environ.get("LSH_SYNTH_CONVS", "0")) or TIERS[tier]
+    n_base = TIERS[tier]
     rng = np.random.default_rng(SEED + len(tier))  # tier-stable seed
 
     conv_ids: list[str] = []
