@@ -26,8 +26,8 @@ from lsh_spark.functions.hashing import M, sql_hash60, sql_perm_table
 from lsh_spark.functions.text import sql_shingles, sql_tokens
 from lsh_spark.functions.vectors import cosine
 from lsh_spark.operators import (
-    exact_dedup, knn, lsh_bands, metrics, minhash, multimodal, pairs, shingle,
-    simhash, suffix, tfidf,
+    asof, exact_dedup, knn, lsh_bands, metrics, minhash, multimodal, pairs,
+    shingle, simhash, suffix, tfidf,
 )
 from lsh_spark.operators.connected_components import connected_components
 from lsh_spark.plans.pipeline import dedup_pipeline
@@ -384,6 +384,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_events")))
 
 
+def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each non-signup event, the user's latest signup at
+    or before it (union + carry-forward window; one shuffle, no range
+    explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "signup") \
+             .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup") \
+              .select("user_id", "ts", "value")
+    joined = asof.asof_join(left, right, on="user_id",
+                            value_cols=("value",))
+    return joined.select("event_id", "user_id",
+                         F.col("ts_asof").alias("signup_ts"),
+                         F.col("value_asof").alias("signup_value"))
+
+
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return asof.tumbling_window_agg(ev, "1 hour")
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data contract: which docs to KEEP after MinHash dedup —
+    cluster minimum per verified cluster plus all singletons."""
+    from lsh_spark.plans.pipeline import dedup_keep_list
+    edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    docs = _conv_docs(spark, sf_dir)
+    return dedup_keep_list(labels, docs).select("doc_id")
+
+
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -445,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "tpch_q1": q_tpch_q1,
         "sessionize": q_sessionize,
+        "asof_signup": q_asof_signup,
+        "hourly_event_stats": q_hourly_event_stats,
+        "dedup_keep_list": q_dedup_keep_list,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "suffix_lcs": q_suffix_lcs,
@@ -825,6 +859,47 @@ flagged AS (
 SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM flagged GROUP BY user_id
+"""
+
+    sql["asof_signup"] = """
+WITH ordered AS (
+  SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+           OVER w AS signup_ts,
+         last_value(CASE WHEN event_type = 'signup' THEN value END IGNORE NULLS)
+           OVER w AS signup_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END,
+                        event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, signup_ts, signup_value
+FROM ordered WHERE event_type <> 'signup'
+"""
+
+    sql["hourly_event_stats"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+    sql["dedup_keep_list"] = f"""
+WITH RECURSIVE {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jac WHERE jaccard >= {JACCARD_T}
+  UNION SELECT doc_b, doc_a FROM jac WHERE jaccard >= {JACCARD_T}
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+labels AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+           FROM reach GROUP BY s)
+SELECT min(doc_id) AS doc_id FROM labels GROUP BY cluster_id
+UNION ALL
+SELECT doc_id FROM docs
+WHERE doc_id NOT IN (SELECT doc_id FROM labels)
 """
 
     sql["top_docs_per_lang"] = """
