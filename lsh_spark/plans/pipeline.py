@@ -33,11 +33,22 @@ def dedup_pipeline(
     cfg: DedupConfig | None = None,
     store: CheckpointStore | None = None,
     passes: tuple[str, ...] = ("minhash", "simhash", "substring"),
+    cascade_mode: str = "union",
 ) -> DataFrame:
     """transcripts → (doc_id, cluster_id) near-duplicate clusters.
 
     Returns only docs that belong to a multi-member cluster; all other docs
     are singleton clusters of themselves.
+
+    ``cascade_mode``:
+      * "union" (default) — every pass contributes edges; safest against
+        false negatives (a pair missed or rejected by one pass can still be
+        linked by another).
+      * "subtract" — reference-exact cascade semantics: candidate pairs
+        REJECTED by the MinHash pass's verification are excluded from the
+        later passes' outputs, mirroring how the reference removes
+        candidates clipped by filter 1 from filter 2's candidate set
+        (reference ``lsh.py:466-471``, C4).
     """
     cfg = cfg or DedupConfig()
     docs = (conversation_docs(transcripts) if cfg.granularity == "conv"
@@ -49,6 +60,7 @@ def dedup_pipeline(
         return store.get_or_compute(spark, stage, thunk)
 
     docs = ck("docs", lambda: docs)
+    rejected_ref: dict[str, DataFrame] = {}
 
     if cfg.hash_mode == "fast":
         # single-scan path: ONE Arrow pass over the text column produces
@@ -62,7 +74,11 @@ def dedup_pipeline(
             sigs = fused.filter(F.col("sig").isNotNull()).select("doc_id", "sig")
             bands = lsh_bands.band_buckets(sigs, cfg)
             cand = lsh_bands.candidate_pairs(bands, cfg)
-            return pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+            verified = pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+            if cascade_mode == "subtract":
+                rejected_ref["df"] = cand.select("doc_a", "doc_b") \
+                    .exceptAll(verified).localCheckpoint()
+            return verified
 
         def simhash_pass():
             sh = fused.select("doc_id", "simhash")
@@ -83,7 +99,11 @@ def dedup_pipeline(
             sigs = minhash.minhash_signatures(hashes, cfg)
             bands = lsh_bands.band_buckets(sigs, cfg)
             cand = lsh_bands.candidate_pairs(bands, cfg)
-            return pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+            verified = pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
+            if cascade_mode == "subtract":
+                rejected_ref["df"] = cand.select("doc_a", "doc_b") \
+                    .exceptAll(verified).localCheckpoint()
+            return verified
 
         def simhash_pass():
             sh = simhash.simhash_docs_arrow(docs, cfg)
@@ -103,7 +123,15 @@ def dedup_pipeline(
     # shuffle I/O in local mode (98s sequential vs 160s threaded at 16
     # cores on the scale tier) — on a real cluster the scheduler pools
     # would make concurrency a wash too
-    edge_frames = [ck(f"edges_{name}", fn) for name, fn in wanted]
+    edge_frames = []
+    for name, fn in wanted:
+        ef = ck(f"edges_{name}", fn)
+        if (cascade_mode == "subtract" and name != "minhash"
+                and rejected_ref.get("df") is not None):
+            # reference C4: pairs clipped by the earlier filter do not
+            # re-enter via later passes (lsh.py:466-471)
+            ef = ef.join(rejected_ref["df"], ["doc_a", "doc_b"], "left_anti")
+        edge_frames.append(ef)
 
     edges = edge_frames[0]
     for ef in edge_frames[1:]:
