@@ -415,6 +415,12 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(labels, docs).select("doc_id")
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lsh_spark.operators.winnow import winnow_fingerprints
+    docs = _docs_from_documents(spark, sf_dir)
+    return winnow_fingerprints(docs, CFG16, window=4)
+
+
 def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
@@ -479,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_signup": q_asof_signup,
         "hourly_event_stats": q_hourly_event_stats,
         "dedup_keep_list": q_dedup_keep_list,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "suffix_lcs": q_suffix_lcs,
@@ -900,6 +907,20 @@ SELECT min(doc_id) AS doc_id FROM labels GROUP BY cluster_id
 UNION ALL
 SELECT doc_id FROM docs
 WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+"""
+
+    shingles_k = sql_shingles(sql_tokens("text"), k)
+    sql["winnow_fingerprints"] = f"""
+WITH {_sql_doc_documents()},
+g AS (
+  SELECT doc_id, i AS pos,
+         {sql_hash60(f"({shingles_k})[CAST(i AS INT) + 1]")} AS h
+  FROM docs, unnest(range(len({shingles_k}))) t(i)
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_hash
+FROM g
 """
 
     sql["top_docs_per_lang"] = """
