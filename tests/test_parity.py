@@ -19,19 +19,22 @@ from tests import oracle
 
 
 CONFIGS = [
-    # (window length, shift, stride, P) — NLSH-style (lsh.py:76-79, Q8) and
-    # PLSH-style (lsh.py:46-48) at fixture-friendly P=12
-    pytest.param(10, 1, 1, 12, id="nlsh_style"),
-    pytest.param(60, 15, 2, 12, id="plsh_style"),
+    # (window length, shift, stride, P, corpus size) — NLSH-style
+    # (lsh.py:76-79, Q8) and PLSH-style (lsh.py:46-48) at fixture-friendly
+    # P=12, plus the reference's default P=100 (constants.py:1)
+    pytest.param(10, 1, 1, 12, 60, id="nlsh_style"),
+    pytest.param(60, 15, 2, 12, 60, id="plsh_style"),
+    pytest.param(10, 1, 1, 100, 36, id="nlsh_default_P100"),
 ]
 
 
-@pytest.mark.parametrize("length,shift,stride,num_perms", CONFIGS)
+@pytest.mark.parametrize("length,shift,stride,num_perms,n_docs", CONFIGS)
 def test_parity_candidate_pairs_exact(spark, t1_transcripts,
-                                      length, shift, stride, num_perms):
+                                      length, shift, stride, num_perms, n_docs):
     docs_df = conversation_docs(t1_transcripts).select("doc_id", "text")
-    # keep the oracle tractable: first 60 conversations (incl. duplicates)
-    subset = sorted(r["doc_id"] for r in docs_df.select("doc_id").collect())[:60]
+    # keep the NumPy oracle tractable: prefix of the corpus (incl. planted
+    # duplicates, which are adjacent to their base conv in sorted order)
+    subset = sorted(r["doc_id"] for r in docs_df.select("doc_id").collect())[:n_docs]
     docs_df = docs_df.filter(F.col("doc_id").isin(subset))
     docs = {r["doc_id"]: r["text"] for r in docs_df.collect()}
 
