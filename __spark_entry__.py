@@ -25,9 +25,10 @@ from lsh_spark.functions import quality as Q
 from lsh_spark.functions.hashing import M, sql_hash60, sql_perm_table
 from lsh_spark.functions.text import sql_shingles, sql_tokens
 from lsh_spark.functions.vectors import cosine
+from lsh_spark.functions.vectors import linear_scaling_distance, manhattan_padded
 from lsh_spark.operators import (
     asof, exact_dedup, knn, lsh_bands, metrics, minhash, multimodal, pairs,
-    shingle, simhash, suffix, tfidf,
+    search, shingle, simhash, suffix, tfidf,
 )
 from lsh_spark.operators.connected_components import connected_components
 from lsh_spark.plans.pipeline import dedup_pipeline
@@ -40,6 +41,9 @@ JACCARD_T = 0.5
 SUBSTR_K = 20
 KNN_K = 5
 EMB_T = 0.4
+MIN_TFIDF = 0.01           # reference sweep value (plot_all_exec.py:40)
+CONF_T = 0.5               # fixed clipping threshold for the G9 query
+PROBE_ID = "c0000000"      # deterministic probe conv (exists at every tier)
 
 T2_TRANSCRIPTS = synth.transcripts_path("t2")
 T2_LABELS = synth.dup_labels_path("t2")
@@ -223,9 +227,11 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all_pairs/chunk mode = exact counts for the oracle; the scale path
+    (combo tables + hot-bucket cap) is equivalence-tested in pytest."""
     docs = _conv_docs(spark, sf_dir)
     sh = simhash.simhash_docs(docs, CFG16)
-    return simhash.simhash_candidate_pairs(sh, CFG16)
+    return simhash.simhash_candidate_pairs(sh, CFG16, all_pairs=True, mode="chunk")
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,9 +307,14 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN with the PORTABLE integer hyperplane family — every
+    step (quantization, plane hash, sign, bucket join, cosine rerank) is
+    reproduced in the DuckDB oracle. The Gaussian/Arrow scale variant
+    (knn.ann_hyperplane) is recall-tested against brute force in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 20)
-    return knn.ann_hyperplane(emb, probes, k=KNN_K)
+    return knn.ann_hyperplane_portable(emb, probes, k=KNN_K,
+                                       n_planes=4, n_tables=4)
 
 
 def q_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,14 +398,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each non-signup event, the user's latest signup at
     or before it (union + carry-forward window; one shuffle, no range
-    explosion)."""
+    explosion). Equal-ts signups tie-break by event_id (matching the
+    oracle's window order) and all carried columns come from ONE right row
+    (struct carry)."""
     ev = load_table(spark, sf_dir, "events")
     left = ev.filter(F.col("event_type") != "signup") \
              .select("event_id", "user_id", "ts")
     right = ev.filter(F.col("event_type") == "signup") \
-              .select("user_id", "ts", "value")
+              .select("user_id", "ts", "value", "event_id")
     joined = asof.asof_join(left, right, on="user_id",
-                            value_cols=("value",))
+                            value_cols=("value",),
+                            right_order_cols=("event_id",))
     return joined.select("event_id", "user_id",
                          F.col("ts_asof").alias("signup_ts"),
                          F.col("value_asof").alias("signup_value"))
@@ -430,18 +444,170 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full cascade (MinHash + SimHash + substring → CC). Rows-only check:
-    the union-of-passes edge set is not one SQL expression; per-pass results
-    are oracle-checked individually above."""
+    """Full cascade (MinHash + SimHash + substring → CC), oracle-checked
+    end-to-end: union of the three passes' edges + recursive-CTE connected
+    components in DuckDB. The cap is lifted so pair generation is exact
+    (all_pairs semantics); the capped scale path is pytest-checked
+    (tests/test_skew.py)."""
     tr = load_transcripts(spark, sf_dir)
-    return dedup_pipeline(spark, tr, DedupConfig())
+    return dedup_pipeline(spark, tr, DedupConfig(hot_bucket_cap=1_000_000_000))
 
 
 def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition suffix-array LCS worker (rows-only: partition-dependent
-    discovery; the deterministic single-partition variant is pytest-checked)."""
+    """Suffix-array LCS WITHIN candidate clusters (the scale deployment:
+    applyInPandas per cluster — parallel over clusters, no corpus-sized
+    suffix array). Rows-only: byte-level LCS is not SQL-expressible; the
+    relational token-run twin (lcs_token_runs) is fully oracle-checked."""
     docs = _conv_docs(spark, sf_dir)
-    return suffix.partition_suffix_lcs(docs.coalesce(1), min_chars=120)
+    edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(edges)
+    return suffix.cluster_suffix_lcs(docs, labels, min_chars=120)
+
+
+def q_lcs_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared consecutive-token run per conv pair (the relational,
+    oracle-checkable twin of the suffix-array LCS — diagonal
+    gaps-and-islands over positional 20-gram matches)."""
+    docs = _conv_docs(spark, sf_dir)
+    return suffix.longest_common_run(
+        docs, CFG16.with_(substring_k=SUBSTR_K), min_tokens=30)
+
+
+def q_manhattan_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: Manhattan distance with the reference's size equalization
+    (zero-pad / truncate the query to the candidate length) over per-doc
+    token-length sequences — exact int64 arithmetic, no float drift."""
+    from lsh_spark.functions.text import tokens_col
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    seqs = docs.select(
+        "doc_id",
+        F.transform(tokens_col(F.col("text")),
+                    lambda t: F.length(t).cast("long")).alias("seq"))
+    a = seqs.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
+    b = seqs.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    manhattan_padded(F.col("seq_a"), F.col("seq_b")).alias("l1")))
+
+
+def q_linear_scaling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (+A4 rescaling): the reference's linear-scaling matcher — min
+    Manhattan distance over the five fixed tempo rescalings of the query
+    sequence (matching_algorithms.py:111-176)."""
+    from lsh_spark.functions.text import tokens_col
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    seqs = docs.select(
+        "doc_id",
+        F.transform(tokens_col(F.col("text")),
+                    lambda t: F.length(t).cast("long")).alias("seq"))
+    a = seqs.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
+    b = seqs.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    linear_scaling_distance(
+                        F.col("seq_a"), F.col("seq_b")).alias("ls_dist")))
+
+
+def q_tfidf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: the reference's min-tfidf token filter."""
+    docs = _docs_from_documents(spark, sf_dir)
+    return tfidf.filter_tokens_by_tfidf(docs, MIN_TFIDF).select(
+        "doc_id", "token", F.round("tfidf", 6).alias("tfidf"))
+
+
+def q_tfidf_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12: remaining-token % + emptied-doc share after the P6 filter."""
+    docs = _docs_from_documents(spark, sf_dir)
+    s = tfidf.tfidf_filter_stats(docs, MIN_TFIDF)
+    return s.select(F.round("avg_remaining_pct", 6).alias("avg_remaining_pct"),
+                    F.round("emptied_docs_pct", 6).alias("emptied_docs_pct"),
+                    "n_docs")
+
+
+def _conf_frames(spark: SparkSession, sf_dir: str):
+    """(ranked candidate lists, unrounded confidence) shared by G8/G9.
+
+    Uses the LSH candidate lists with the band-agreement-estimated distance
+    (1 − agreement/P) — the reference computes confidence over the ranked
+    retrieval list (lsh.py:353-382), and candidate lists are where queries
+    have >1 result so confidence is non-degenerate (verified-pair lists at
+    threshold 0.5 are almost always singletons → confidence ≡ 0)."""
+    cand = q_lsh_candidates(spark, sf_dir)
+    vp = cand.withColumn(
+        "distance",
+        F.lit(1.0) - F.col("band_agreement") / F.lit(float(CFG16.num_perms)))
+    w = Window.partitionBy("doc_a").orderBy(F.asc("distance"), F.asc("doc_b"))
+    ranked = (vp.withColumn("rank", F.row_number().over(w))
+              .select(F.col("doc_a").alias("query_id"), "doc_b",
+                      "distance", "rank"))
+    conf = metrics.confidence(ranked, query_col="query_id",
+                              dist_col="distance", rank_col="rank", top_x=20)
+    return ranked, conf
+
+
+def q_confidence_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: trained threshold = max confidence among queries whose top-1
+    candidate is NOT the labeled duplicate partner (reference
+    utils.py:154-171)."""
+    ranked, conf = _conf_frames(spark, sf_dir)
+    top1 = ranked.filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_b").alias("top1_id"))
+    labels = spark.read.parquet(synth.dup_labels_path(
+        synth.tier_for_sf_dir(sf_dir)))
+    correctness = (top1.join(labels,
+                             top1.query_id == labels.conv_id_a)
+                   .select("query_id",
+                           (F.col("top1_id") == F.col("conv_id_b"))
+                           .alias("top1_correct")))
+    th = metrics.train_confidence_threshold(conf, correctness)
+    return th.select(F.round("threshold", 6).alias("threshold"))
+
+
+def q_confidence_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9/P5: drop whole result lists whose confidence ≤ CONF_T
+    (reference lsh.py:385-412)."""
+    ranked, conf = _conf_frames(spark, sf_dir)
+    kept = metrics.clip_by_confidence(ranked.filter(F.col("rank") <= 20),
+                                      conf, CONF_T)
+    return kept.select("query_id", "doc_b", F.col("rank").cast("int").alias("rank"))
+
+
+def q_dist_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the reference's distance→similarity normalization
+    sim = min(100, e^(1/d) − 1) over verified-pair Jaccard distances."""
+    vp = _verified_pairs(spark, sf_dir).withColumn(
+        "distance", F.lit(1.0) - F.col("jaccard"))
+    return vp.select(
+        "doc_a", "doc_b",
+        F.round(metrics.distance_to_similarity(F.col("distance")), 6)
+         .alias("sim"))
+
+
+def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: quarantine (broken-file skip list) — surviving per-conv turn
+    counts after dropping the quarantined conv ids."""
+    from lsh_spark.sources.tables import quarantine_filter
+    tr = load_transcripts(spark, sf_dir)
+    kept = quarantine_filter(tr, ["c0000001", "c0000003"], id_col="conv_id")
+    return kept.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing overlap pairs (≥2 shared fingerprints),
+    exact/uncapped for the oracle; the capped path is pytest-checked."""
+    from lsh_spark.operators.winnow import winnow_overlap_pairs
+    docs = _docs_from_documents(spark, sf_dir)
+    return winnow_overlap_pairs(docs, CFG16, window=4, min_shared=2)
+
+
+def q_search_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe search (the reference's `main.py search` surface):
+    probe PROBE_ID against the band-bucket index, rank by exact Jaccard."""
+    docs = _conv_docs(spark, sf_dir)
+    hashes = shingle.doc_shingle_hashes(docs, CFG16)
+    sigs = minhash.minhash_signatures(hashes, CFG16)
+    bands = lsh_bands.band_buckets(sigs, CFG16)
+    return search.search_probe(bands, hashes, PROBE_ID, CFG16, top_x=20)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -486,9 +652,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_stats": q_hourly_event_stats,
         "dedup_keep_list": q_dedup_keep_list,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_overlap": q_winnow_overlap,
         "top_docs_per_lang": q_top_docs_per_lang,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "suffix_lcs": q_suffix_lcs,
+        "lcs_token_runs": q_lcs_token_runs,
+        "manhattan_pairs": q_manhattan_pairs,
+        "linear_scaling_pairs": q_linear_scaling_pairs,
+        "tfidf_filtered": q_tfidf_filtered,
+        "tfidf_filter_stats": q_tfidf_filter_stats,
+        "confidence_threshold": q_confidence_threshold,
+        "confidence_clipped": q_confidence_clipped,
+        "dist_similarity": q_dist_similarity,
+        "quarantine": q_quarantine,
+        "search_probe": q_search_probe,
     }
 
 
@@ -931,6 +1108,337 @@ WITH ranked AS (
   FROM documents
 )
 SELECT lang, doc_id, n_chars, rk FROM ranked WHERE rk <= 3
+"""
+
+    # ---- round-2 additions -------------------------------------------------
+
+    pipe = DedupConfig()  # pipeline config (cap lifted on the Spark side)
+    grams_pipe = sql_shingles(sql_tokens("text"), pipe.substring_k)
+    sql["dedup_pipeline_full"] = f"""
+WITH RECURSIVE {_sql_conv_docs(tp)}, {_sql_hashed(pipe.shingle_k)},
+{_sql_minhash(pipe.num_perms)}, {_sql_exact_jaccard()},
+mh_cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM mh x JOIN mh y
+    ON x.perm_id = y.perm_id AND x.minhash = y.minhash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+mh_edges AS (
+  SELECT j.doc_a, j.doc_b FROM jac j
+  JOIN mh_cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+  WHERE j.jaccard >= {pipe.jaccard_threshold}
+),
+toks2 AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok FROM docs),
+tw AS (SELECT doc_id, {sql_hash60('tok')} AS th, count(*) AS w
+       FROM toks2 GROUP BY 1, 2),
+bits AS (SELECT unnest(range({pipe.simhash_bits})) AS bit),
+perbit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (th >> CAST(bit AS INT)) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM tw CROSS JOIN bits GROUP BY 1, 2
+),
+sim AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT))
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM perbit GROUP BY doc_id
+),
+sim_edges AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {pipe.hamming_threshold}
+),
+g20 AS (SELECT doc_id, {sql_hash60('gram')} AS gh
+        FROM (SELECT doc_id, unnest(list_distinct({grams_pipe})) AS gram FROM docs)),
+sub_edges AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM g20 a JOIN g20 b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+all_edges AS (
+  SELECT * FROM mh_edges UNION SELECT * FROM sim_edges UNION SELECT * FROM sub_edges
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM all_edges
+  UNION SELECT doc_b, doc_a FROM all_edges
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+"""
+
+    grams20 = sql_shingles(sql_tokens("text"), SUBSTR_K)
+    sql["lcs_token_runs"] = f"""
+WITH {_sql_conv_docs(tp)},
+gl AS (SELECT doc_id, {grams20} AS gs FROM docs),
+g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {sql_hash60('gs[CAST(i AS INT) + 1]')} AS gh
+  FROM gl, unnest(range(len(gs))) t(i)
+),
+m AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, a.pos - b.pos AS diag
+  FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+),
+runs AS (
+  SELECT doc_a, doc_b, diag,
+         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                    ORDER BY pos_a) AS grp
+  FROM m
+),
+rc AS (SELECT doc_a, doc_b, count(*) AS run
+       FROM runs GROUP BY doc_a, doc_b, diag, grp)
+SELECT doc_a, doc_b, CAST(max(run) + {SUBSTR_K - 1} AS BIGINT) AS lcs_tokens
+FROM rc GROUP BY 1, 2 HAVING max(run) + {SUBSTR_K - 1} >= 30
+"""
+
+    def man(q: str, c: str) -> str:
+        return (f"COALESCE(CAST(list_sum(list_transform(range(1, len({c}) + 1), "
+                f"i -> abs(({c})[i] - COALESCE(({q})[i], 0)))) AS BIGINT), 0)")
+
+    def rescale(q: str, num: int, den: int) -> str:
+        if num == den:
+            return q
+        chunk = f"({q})[ci*{den}+1 : ci*{den}+{den}]"
+        if num > den:
+            chunk = f"list_append({chunk}, ({chunk})[-1])"
+        return (f"flatten(list_transform("
+                f"range(0, CAST(ceil(len({q}) / {den}.0) AS BIGINT)), "
+                f"ci -> ({chunk})[1:{num}]))")
+
+    seq_cte = (f"s AS (SELECT doc_id, list_transform({sql_tokens('text')}, "
+               f"t -> CAST(length(t) AS BIGINT)) AS seq "
+               f"FROM documents WHERE doc_id < 30)")
+    sql["manhattan_pairs"] = f"""
+WITH {seq_cte}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {man('a.seq', 'b.seq')} AS l1
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+"""
+
+    from lsh_spark.functions.vectors import SCALING_FACTORS
+    r_cols = ", ".join(
+        f"{rescale('seq', n, d)} AS r{i}"
+        for i, (n, d) in enumerate(SCALING_FACTORS))
+    ls = "least(" + ", ".join(
+        man(f"a.r{i}", "b.seq") for i in range(len(SCALING_FACTORS))) + ")"
+    sql["linear_scaling_pairs"] = f"""
+WITH {seq_cte},
+r AS (SELECT doc_id, seq, {r_cols} FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ls} AS ls_dist
+FROM r a JOIN r b ON a.doc_id < b.doc_id
+"""
+
+    tfidf_ctes = f"""{_sql_doc_documents()},
+toks AS (SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM docs),
+counts AS (SELECT doc_id, token, count(*) AS n FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc_id, sum(n) AS len FROM counts GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM docs),
+dfq AS (SELECT token, count(*) AS df FROM counts GROUP BY 1),
+tw AS (
+  SELECT c.doc_id, c.token, c.n,
+         (CAST(c.n AS DOUBLE) / l.len) * log2(CAST(nd.nd AS DOUBLE) / d.df) AS v
+  FROM counts c JOIN lens l ON c.doc_id = l.doc_id
+  JOIN dfq d ON c.token = d.token CROSS JOIN nd
+)"""
+
+    sql["tfidf_filtered"] = f"""
+WITH {tfidf_ctes}
+SELECT doc_id, token, round(v, 6) AS tfidf FROM tw WHERE v > {MIN_TFIDF}
+"""
+
+    sql["tfidf_filter_stats"] = f"""
+WITH {tfidf_ctes},
+per_doc AS (
+  SELECT doc_id, sum(n) AS n_orig,
+         sum(CASE WHEN v > {MIN_TFIDF} THEN n ELSE 0 END) AS n_kept
+  FROM tw GROUP BY doc_id
+)
+SELECT round(avg(CAST(n_kept AS DOUBLE) / n_orig * 100), 6) AS avg_remaining_pct,
+       round(avg(CASE WHEN n_kept = 0 THEN 1.0 ELSE 0.0 END) * 100, 6)
+         AS emptied_docs_pct,
+       count(*) AS n_docs
+FROM per_doc
+"""
+
+    conf_ctes = f"""{_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)},
+cand AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS ba
+  FROM mh x JOIN mh y
+    ON x.perm_id = y.perm_id AND x.minhash = y.minhash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+vp AS (SELECT doc_a, doc_b, 1.0 - ba / {float(CFG16.num_perms)} AS distance
+       FROM cand),
+ranked AS (
+  SELECT doc_a, doc_b, distance,
+         row_number() OVER (PARTITION BY doc_a
+                            ORDER BY distance ASC, doc_b ASC) AS rank
+  FROM vp
+),
+agg AS (
+  SELECT doc_a AS query_id,
+         min(CASE WHEN rank = 1 THEN distance END) AS d1,
+         sum(CASE WHEN rank > 1 THEN distance END) AS tail,
+         max(rank) AS x
+  FROM ranked WHERE rank <= 20 GROUP BY 1
+),
+conf AS (
+  SELECT query_id,
+         CASE WHEN tail > 0 AND x > 1 THEN (x - 1) * d1 / tail
+              ELSE 0.0 END AS confidence
+  FROM agg
+)"""
+
+    sql["confidence_threshold"] = f"""
+WITH {conf_ctes},
+top1 AS (SELECT doc_a AS query_id, doc_b AS top1_id FROM ranked WHERE rank = 1),
+labels AS (SELECT conv_id_a, conv_id_b FROM read_parquet('{lp}')),
+wrong AS (
+  SELECT c.confidence FROM conf c
+  JOIN top1 t ON t.query_id = c.query_id
+  JOIN labels l ON l.conv_id_a = c.query_id
+  WHERE t.top1_id <> l.conv_id_b
+)
+SELECT round(max(confidence), 6) AS threshold FROM wrong
+"""
+
+    sql["confidence_clipped"] = f"""
+WITH {conf_ctes}
+SELECT r.doc_a AS query_id, r.doc_b, CAST(r.rank AS INT) AS rank
+FROM ranked r JOIN conf c ON c.query_id = r.doc_a
+WHERE c.confidence > {CONF_T} AND r.rank <= 20
+"""
+
+    sql["dist_similarity"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
+vp AS (SELECT doc_a, doc_b, 1.0 - jaccard AS d FROM jac
+       WHERE jaccard >= {JACCARD_T})
+SELECT doc_a, doc_b,
+       round(CASE WHEN d > 0 THEN least(100.0, exp(1.0 / d) - 1.0)
+                  ELSE 100.0 END, 6) AS sim
+FROM vp
+"""
+
+    sql["quarantine"] = f"""
+SELECT conv_id, count(*) AS n_turns FROM read_parquet('{tp}')
+WHERE conv_id NOT IN ('c0000001', 'c0000003') GROUP BY conv_id
+"""
+
+    shingles_w = sql_shingles(sql_tokens("text"), k)
+    sql["winnow_overlap"] = f"""
+WITH {_sql_doc_documents()},
+gw AS (
+  SELECT doc_id, i AS pos,
+         {sql_hash60(f"({shingles_w})[CAST(i AS INT) + 1]")} AS h
+  FROM docs, unnest(range(len({shingles_w}))) t(i)
+),
+fp AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp_hash
+  FROM gw
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM fp a JOIN fp b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+    sql["search_probe"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)},
+pb AS (SELECT DISTINCT perm_id, minhash FROM mh WHERE doc_id = '{PROBE_ID}'),
+hits AS (
+  SELECT m.doc_id, CAST(count(DISTINCT m.perm_id) AS INT) AS band_agreement
+  FROM mh m JOIN pb ON m.perm_id = pb.perm_id AND m.minhash = pb.minhash
+  WHERE m.doc_id <> '{PROBE_ID}' GROUP BY m.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+np AS (SELECT count(*) AS np FROM hashed WHERE doc_id = '{PROBE_ID}'),
+inter AS (
+  SELECT h.doc_id, count(*) AS i FROM hashed h
+  JOIN hashed p ON h.h = p.h AND p.doc_id = '{PROBE_ID}'
+  WHERE h.doc_id <> '{PROBE_ID}' GROUP BY h.doc_id
+),
+scored AS (
+  SELECT hits.doc_id, hits.band_agreement,
+         CASE WHEN s.n + np.np - COALESCE(i.i, 0) > 0
+              THEN CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / (s.n + np.np - COALESCE(i.i, 0))
+              ELSE 1.0 END AS jaccard
+  FROM hits JOIN sizes s ON s.doc_id = hits.doc_id
+  LEFT JOIN inter i ON i.doc_id = hits.doc_id CROSS JOIN np
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY jaccard DESC, doc_id ASC) AS INT)
+            AS rank
+  FROM scored
+)
+SELECT doc_id AS neighbor_id, band_agreement,
+       round(jaccard, 6) AS jaccard, rank
+FROM ranked WHERE rank <= 20
+"""
+
+    sql["media_features"] = f"""
+WITH {_sql_doc_documents()},
+f AS (
+  SELECT doc_id,
+         CASE WHEN ({sql_hash60('doc_id')}) % 2 = 0
+              THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+         sha256(text) AS hx
+  FROM docs
+)
+SELECT doc_id, media_type,
+       round(CAST(CAST('0x' || substr(hx, 3, 2) || substr(hx, 1, 2) AS BIGINT)
+                  AS DOUBLE) / 65535.0, 6) AS f0,
+       CAST(16 AS INT) AS dim
+FROM f
+"""
+
+    ann_t, ann_p, ann_d = 4, 4, 64
+    plane_hash = sql_hash60(
+        "'hp:' || CAST(tt AS VARCHAR) || ':' || CAST(jj AS VARCHAR)"
+        " || ':' || CAST(ii AS VARCHAR)")
+    cos_pc = _sql_cosine("p.embedding", "c.embedding")
+    sql["ann_hyperplane"] = f"""
+WITH planes AS (
+  SELECT t.tt, j.jj, i.ii, (({plane_hash}) % 2001) - 1000 AS c
+  FROM range({ann_t}) t(tt), range({ann_p}) j(jj), range({ann_d}) i(ii)
+),
+qv AS (
+  SELECT vec_id, i.ii AS ii,
+         CAST(floor(CAST(embedding[CAST(i.ii AS INT) + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, range({ann_d}) i(ii)
+),
+dots AS (
+  SELECT vec_id, tt, jj, sum(q * c) AS s
+  FROM qv JOIN planes ON qv.ii = planes.ii GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tt,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(jj AS INT))
+                  ELSE 0 END) AS b
+  FROM dots GROUP BY 1, 2
+),
+pbk AS (SELECT vec_id AS query_id, tt, b FROM buckets WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT pbk.query_id, cb.vec_id AS neighbor_id
+  FROM pbk JOIN buckets cb ON pbk.tt = cb.tt AND pbk.b = cb.b
+  WHERE cb.vec_id <> pbk.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, round({cos_pc}, 6) AS cos_sim
+  FROM cand JOIN embeddings p ON p.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+rankedq AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM rankedq WHERE rank <= {KNN_K}
 """
 
     return sql

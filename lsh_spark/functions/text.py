@@ -14,7 +14,26 @@ operators/minhash.py (north_star: pandas/Arrow UDFs, no per-row Python).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+# Java's \s (used by Spark's split) is ASCII-only: [ \t\n\x0B\f\r]. The
+# Python-kernel tokenizer must match it exactly — ``str.split()`` splits on
+# ALL Unicode whitespace (U+00A0, U+2003, ...) and would diverge from the
+# builtin/oracle path on such inputs. ``str.isascii`` gates a C-speed
+# fast path: for ASCII text, str.split() splits on exactly the same set.
+_ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def py_tokens(text: str | None) -> list[str]:
+    """Python-side tokenizer, semantics identical to ``tokens_col``
+    (Spark split on Java ``\\s+`` with empty strings dropped)."""
+    if not text:
+        return []
+    if text.isascii():
+        return text.split()
+    return [t for t in _ASCII_WS_RE.split(text) if t]
 
 
 def tokens_col(text: Column | str) -> Column:

@@ -19,34 +19,52 @@ from pyspark.sql import DataFrame, Window, functions as F
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               value_cols: tuple[str, ...] = (),
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              right_order_cols: tuple[str, ...] = ()) -> DataFrame:
     """For every left row: columns of the latest right row with
     right.ts <= left.ts and equal ``on`` key (nulls when none).
 
     Output: all left columns + ``<value_col><suffix>`` per value column +
     ``<right_ts><suffix>``.
+
+    Row-atomicity: all carried columns travel as ONE struct through a single
+    ``last(ignorenulls)``, so the output is always a slice of one actual
+    right row — never a per-column mix of different right rows (pandas
+    merge_asof semantics; per-column backfill would mix rows whenever a
+    right row holds NULL in one value column).
+
+    Determinism: equal-ts right rows are tie-broken ascending by
+    ``right_order_cols`` (default: the carried values themselves), and the
+    LAST one wins — matching ``ORDER BY ts, <order_cols>`` + last_value in
+    SQL engines.
     """
     lcols = left.columns
-    l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    r = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
     carried = [right_ts] + list(value_cols)
-    r_sel = [F.col(on), F.col("__side"), F.col("__ts")] + [
-        F.col(c).alias(f"__carry_{c}") for c in carried]
-    l_sel = [F.col(c) for c in lcols] + [F.col("__side"), F.col("__ts")] + [
-        F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__carry_{c}")
-        for c in carried]
-    u = l.select(*l_sel).unionByName(r.select(*r_sel), allowMissingColumns=True)
+    tie_cols = list(right_order_cols) if right_order_cols else carried
+    r = right.select(
+        F.col(on), F.lit(0).alias("__side"), F.col(right_ts).alias("__ts"),
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__carry"),
+        F.struct(*[F.col(c).alias(f"t{i}") for i, c in enumerate(tie_cols)])
+         .alias("__tie"))
+    carry_type = dict(r.dtypes)["__carry"]
+    tie_type = dict(r.dtypes)["__tie"]
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__side"), F.col(left_ts).alias("__ts"),
+        F.lit(None).cast(carry_type).alias("__carry"),
+        F.lit(None).cast(tie_type).alias("__tie"))
+    u = l.unionByName(r, allowMissingColumns=True)
     # right rows sort before left rows at equal ts (__side 0 < 1) so an
-    # exactly-simultaneous right row is visible to the left row
-    w = (Window.partitionBy(on).orderBy("__ts", "__side")
+    # exactly-simultaneous right row is visible to the left row; among
+    # equal-ts right rows the tie struct orders them (nulls_first keeps
+    # left rows after right ones regardless — __side already separates)
+    w = (Window.partitionBy(on)
+         .orderBy(F.col("__ts"), F.col("__side"), F.asc_nulls_last("__tie"))
          .rowsBetween(Window.unboundedPreceding, 0))
-    for c in carried:
-        u = u.withColumn(f"__last_{c}",
-                         F.last(f"__carry_{c}", ignorenulls=True).over(w))
-    out = u.filter(F.col("__side") == 1).select(
+    u = u.withColumn("__last", F.last("__carry", ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).select(
         *lcols,
-        *[F.col(f"__last_{c}").alias(f"{c}{suffix}") for c in carried])
-    return out
+        *[F.col(f"__last.{c}").alias(f"{c}{suffix}") for c in carried])
 
 
 def tumbling_window_agg(events: DataFrame, every: str = "1 hour",

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 
 from lsh_spark.config import DedupConfig
 from lsh_spark.functions.hashing import M, minhash_params
+from lsh_spark.functions.text import py_tokens
 from lsh_spark.operators.shingle import _HORNER_MULT, _MASK60, _token_hashes
 
 FUSED_SCHEMA = ("doc_id string, hashes array<bigint>, sig array<bigint>, "
@@ -62,7 +63,7 @@ def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
         for batch in batches:
             doc_ids = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
-            tok_lists = [t.split() if t else [] for t in texts]
+            tok_lists = [py_tokens(t) for t in texts]
             th, lens = _token_hashes(tok_lists)
 
             shingle_out: list[np.ndarray] = []

@@ -70,6 +70,7 @@ def hyperplane_signs(vectors: DataFrame, n_planes: int = 8, n_tables: int = 8,
             vecs = batch.column(1)
             flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             offsets = vecs.offsets.to_numpy(zero_copy_only=False)
+            offsets = offsets - offsets[0]  # align with flatten() on slices
             d = int(offsets[1] - offsets[0]) if len(offsets) > 1 else 0
             mat = flat.reshape(-1, d)
             if planes is None:
@@ -99,6 +100,91 @@ def ann_hyperplane(corpus: DataFrame, probes: DataFrame, k: int = 5,
     """
     cb = hyperplane_signs(corpus, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
     pb = hyperplane_signs(probes, n_planes, n_tables, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed("vec_id", "query_id")
+    cand = (
+        pb.join(cb, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hyperplane_signs_portable(vectors: DataFrame, n_planes: int = 4,
+                              n_tables: int = 4, dim: int = 64,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table_id, bucket) — DETERMINISTIC INTEGER hyperplane LSH,
+    bit-for-bit reproducible in DuckDB SQL (the oracle-checkable variant;
+    ``hyperplane_signs`` above is the Gaussian/Arrow scale path).
+
+    Plane component c(t,j,i) = (hash60('hp:t:j:i') % 2001) − 1000 — an
+    md5-derived integer in [−1000, 1000]; embeddings are quantized
+    q_i = floor(e_i · 10^6) (exact in int64: |Σ q·c| < 64·10^9·10^3 < 2^63).
+    Sign decisions are integer comparisons, so no float-summation-order
+    hazard exists between engines. Sign-LSH only needs a symmetric
+    component distribution, which uniform ints satisfy.
+
+    Fully relational: posexplode dims → broadcast-join the (tiny) plane
+    table → two partial-aggregating groupBys. No Python anywhere.
+    """
+    from lsh_spark.functions.hashing import portable_hash64
+    spark = vectors.sparkSession
+    total = n_tables * n_planes * dim
+    planes = (
+        spark.range(total)
+        .select(
+            (F.col("id") / (n_planes * dim)).cast("long").alias("t"),
+            ((F.col("id") / dim) % n_planes).cast("long").alias("j"),
+            (F.col("id") % dim).cast("long").alias("i"),
+        )
+        .withColumn("c", F.pmod(portable_hash64(F.concat_ws(
+            ":", F.lit("hp"), F.col("t").cast("string"),
+            F.col("j").cast("string"), F.col("i").cast("string"))),
+            F.lit(2001)) - 1000)
+    )
+    q = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(vec_col).alias("i", "v"),
+    ).select("vec_id", F.col("i").cast("long").alias("i"),
+             F.floor(F.col("v").cast("double") * 1e6).cast("long").alias("q"))
+    dots = (
+        q.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "t", "j")
+        .agg(F.sum(F.col("q") * F.col("c")).alias("s"))
+    )
+    return (
+        dots.groupBy("vec_id", F.col("t").alias("table_id"))
+        .agg(F.sum(F.when(F.col("s") > 0,
+                          F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"))
+                   .otherwise(F.lit(0))).alias("bucket"))
+        .select("vec_id", F.col("table_id").cast("int"), "bucket")
+    )
+
+
+def ann_hyperplane_portable(corpus: DataFrame, probes: DataFrame, k: int = 5,
+                            n_planes: int = 4, n_tables: int = 4,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k via the portable integer hyperplane buckets +
+    exact cosine rerank — same plan shape as ``ann_hyperplane`` but every
+    step reproducible in ANSI SQL (driver oracle)."""
+    cb = hyperplane_signs_portable(corpus, n_planes, n_tables,
+                                   id_col=id_col, vec_col=vec_col)
+    pb = hyperplane_signs_portable(probes, n_planes, n_tables,
+                                   id_col=id_col, vec_col=vec_col) \
         .withColumnRenamed("vec_id", "query_id")
     cand = (
         pb.join(cb, ["table_id", "bucket"])

@@ -18,8 +18,14 @@ hot-bucket skew"):
    For clustering this is lossless — the star connects exactly the same
    component — while the pair count drops from k(k-1)/2 to k-1. Verification
    of star edges still uses exact Jaccard, so false merges are not
-   introduced beyond what per-pair verification allows.
+   introduced beyond what per-pair verification allows. band_agreement
+   counts are exact in all_pairs mode and a lower bound when the cap
+   triggers (see candidate_pairs docstring).
  * AQE skew-join handling stays on as a backstop (session.py).
+
+The census + star-link machinery is factored into operators/skew.py and
+shared with the SimHash chunk join, the substring gram join and the winnow
+overlap join — every keyed self-join in the engine gets the same defusal.
 """
 
 from __future__ import annotations
@@ -27,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from lsh_spark.config import DedupConfig
+from lsh_spark.operators.skew import all_pair_rows, bucket_census, capped_pair_rows
 
 
 def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -52,68 +59,34 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def bucket_sizes_salted(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Bucket-size census via explicit two-phase salted groupBy.
-
-    Spark's hash aggregate already does map-side partial aggregation; the
-    explicit salt additionally randomizes the *reduce-side* key so a single
-    mega-bucket's partials spread over ``salt_buckets`` reducers before the
-    final merge — the north_rule-mandated pattern, and the one you want at
-    1000 executors where one hot (band_id, band_hash) would otherwise
-    serialize on one task.
-    """
-    salt = F.pmod(F.xxhash64("doc_id"), F.lit(cfg.salt_buckets)).alias("salt")
-    partial = (
-        bands.select("band_id", "band_hash", salt)
-        .groupBy("band_id", "band_hash", "salt")
-        .agg(F.count("*").alias("c"))
-    )
-    return (
-        partial.groupBy("band_id", "band_hash")
-        .agg(F.sum("c").cast("long").alias("bucket_size"))
-    )
+    """Bucket-size census (see operators/skew.py — shared by all passes)."""
+    return bucket_census(bands, ["band_id", "band_hash"], cfg)
 
 
 def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
                     all_pairs: bool = False) -> DataFrame:
     """Distinct candidate doc pairs (doc_a < doc_b) + band agreement count.
 
-    ``all_pairs=True`` expands every bucket fully (reference-exact pair
-    semantics, usable when buckets are known small / oracle checks).
-    Default: buckets above ``hot_bucket_cap`` are star-linked to the bucket
-    minimum (component-preserving skew defusal); agreement counts for star
-    edges remain exact because counting happens after pair generation,
-    over all bands.
-    """
-    if all_pairs:
-        eligible = bands
-        star = None
-    else:
-        sizes = bucket_sizes_salted(bands, cfg)
-        with_size = bands.join(sizes, ["band_id", "band_hash"])
-        eligible = with_size.filter(F.col("bucket_size") <= cfg.hot_bucket_cap) \
-                            .select("band_id", "band_hash", "doc_id")
-        hot = with_size.filter(F.col("bucket_size") > cfg.hot_bucket_cap) \
-                       .select("band_id", "band_hash", "doc_id")
-        hot_min = hot.groupBy("band_id", "band_hash").agg(F.min("doc_id").alias("doc_a"))
-        star = (
-            hot.join(hot_min, ["band_id", "band_hash"])
-            .filter(F.col("doc_id") != F.col("doc_a"))
-            .select("band_id", F.col("doc_a"), F.col("doc_id").alias("doc_b"))
-        )
+    ``all_pairs=True`` expands every bucket fully — reference-exact pair
+    semantics AND exact agreement counts; use for oracle checks / corpora
+    with known-bounded buckets.
 
-    left = eligible.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
-    right = eligible.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
-    pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("band_id", "doc_a", "doc_b")
-    )
-    if star is not None:
-        pairs = pairs.unionByName(star)
+    Default: buckets above ``hot_bucket_cap`` are star-linked to the bucket
+    minimum (component-preserving skew defusal, operators/skew.py).
+    Agreement counts are then a LOWER BOUND for pairs that also co-occur in
+    a hot bucket: the hot bucket contributes only its star edges, so a
+    non-star pair loses that band's agreement unit. Downstream Jaccard
+    verification is unaffected (it recomputes exact similarity per pair).
+    """
+    key = ["band_id", "band_hash"]
+    if all_pairs:
+        pair_rows = all_pair_rows(bands, key)
+    else:
+        pair_rows = capped_pair_rows(bands, key, cfg)
     # one agreement unit per band even if several buckets of the same band
     # matched (cannot happen for exact hashes, but keeps Q5 semantics)
     return (
-        pairs.distinct()
+        pair_rows.select("band_id", "doc_a", "doc_b").distinct()
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("int").alias("band_agreement"))
     )

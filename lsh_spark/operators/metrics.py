@@ -95,8 +95,11 @@ def clip_by_confidence(ranked: DataFrame, conf: DataFrame, threshold: float,
 def distance_to_similarity(dist):
     """A10: the reference's distance→similarity normalization
     sim = min(100, e^(1/d) − 1) (``matching_algorithms.py:431-447``,
-    formula at 443). Column-in, Column-out."""
-    return F.least(F.lit(100.0), F.exp(1.0 / dist) - 1.0)
+    formula at 443). Column-in, Column-out. d = 0 (identical) saturates to
+    100 — the formula's limit; the reference would divide by zero."""
+    return F.when(dist > 0,
+                  F.least(F.lit(100.0), F.exp(1.0 / dist) - 1.0)) \
+            .otherwise(F.lit(100.0))
 
 
 def save_threshold(value: float, path: str) -> None:

@@ -43,6 +43,10 @@ def minhash_signatures(doc_hashes: DataFrame, cfg: DedupConfig) -> DataFrame:
             hashes = batch.column("hashes")
             flat = hashes.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
             offsets = hashes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # ListArray.flatten() respects a slice offset but the raw offsets
+            # buffer does not — normalize so reduceat segment starts align
+            # even if a batch ever arrives as a non-zero-offset slice
+            offsets = offsets - offsets[0]
             lengths = np.diff(offsets)
             keep = lengths > 0
             if flat.size == 0 or not keep.any():

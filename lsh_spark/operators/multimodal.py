@@ -25,14 +25,17 @@ MEDIA_SCHEMA = ("doc_id string, media binary, media_type string, "
 
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media payloads derived from text bytes (the
-    sandbox stand-in for real image/audio columns)."""
+    sandbox stand-in for real image/audio columns). All derivations use the
+    portable md5 hash so the whole frame is DuckDB-oracle-reproducible."""
+    from lsh_spark.functions.hashing import portable_hash64
+    h = portable_hash64(F.col("doc_id"))
     return docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("media"),
         F.element_at(F.array(F.lit("image/png"), F.lit("audio/wav")),
-                     (F.crc32("doc_id") % 2 + 1).cast("int")).alias("media_type"),
-        (F.crc32("doc_id") % 640 + 1).cast("int").alias("width"),
-        (F.crc32("doc_id") % 480 + 1).cast("int").alias("height"),
+                     (h % 2 + 1).cast("int")).alias("media_type"),
+        (h % 640 + 1).cast("int").alias("width"),
+        (h % 480 + 1).cast("int").alias("height"),
         (F.length("text") * 10).cast("int").alias("duration_ms"),
     )
 

@@ -1,0 +1,66 @@
+"""Single-probe search against a prebuilt LSH index — the reference's
+primary user surface (``main.py:209-237`` `search -f query.wav`,
+``lsh.py:447-473`` search/search_all), Spark-first.
+
+The reference probes one query against the in-memory inverted index and
+ranks by collision count then similarity; here the "index" is the
+``band_buckets`` table (checkpointable via plans/checkpoint.py — on a
+cluster this is the resumable, incrementally-probe-able artifact) and a
+probe is one broadcast-side row:
+
+ * the probe's bands are a handful of rows → broadcast to the bucket
+   table's partitions; the big side NEVER shuffles (one scan, filter
+   pushdown on band collision);
+ * agreement = number of distinct colliding bands (Q5 semantics: duplicate
+   hits within one bucket count once, reference ``lsh.py:307-308``);
+ * verification = exact shingle Jaccard of probe vs candidates only
+   (candidate count ≪ corpus);
+ * ranking by similarity desc then id (reference ranks candidates by
+   matching-algorithm similarity, ``lsh.py:459-473``), top_x cut
+   (SHOW_TOP_X=20, reference ``constants.py:3``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from lsh_spark.config import DedupConfig
+
+
+def search_probe(bands: DataFrame, doc_hashes: DataFrame, probe_id: str,
+                 cfg: DedupConfig, top_x: int = 20) -> DataFrame:
+    """Rank the corpus against ONE probe document.
+
+    ``bands``: (band_id, band_hash, doc_id) — the prebuilt index;
+    ``doc_hashes``: (doc_id, hashes) — for exact Jaccard verification.
+    Output: (neighbor_id, band_agreement int, jaccard double, rank int).
+    """
+    probe_bands = (bands.filter(F.col("doc_id") == probe_id)
+                   .select("band_id", "band_hash").distinct())
+    hits = (
+        bands.join(F.broadcast(probe_bands), ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != probe_id)
+        .select("band_id", "doc_id").distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("band_agreement"))
+    )
+    probe_set = (doc_hashes.filter(F.col("doc_id") == probe_id)
+                 .select(F.col("hashes").alias("h_p")))
+    scored = (
+        hits.join(doc_hashes, "doc_id")
+        .crossJoin(F.broadcast(probe_set))
+        .withColumn("inter", F.size(F.array_intersect("hashes", "h_p")))
+        .withColumn("union",
+                    F.size("hashes") + F.size("h_p") - F.col("inter"))
+        .withColumn("jaccard",
+                    F.when(F.col("union") > 0, F.col("inter") / F.col("union"))
+                     .otherwise(F.lit(1.0)))
+    )
+    w = Window.orderBy(F.desc("jaccard"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_x)
+        .select(F.col("doc_id").alias("neighbor_id"), "band_agreement",
+                F.round("jaccard", 6).alias("jaccard"),
+                F.col("rank").cast("int").alias("rank"))
+    )

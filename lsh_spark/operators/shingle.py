@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from lsh_spark.config import DedupConfig
 from lsh_spark.functions.hashing import hash64
-from lsh_spark.functions.text import distinct_shingles_col, tokens_col
+from lsh_spark.functions.text import distinct_shingles_col, py_tokens, tokens_col
 
 SHINGLE_SCHEMA = "doc_id string, hashes array<bigint>"
 
@@ -69,7 +69,7 @@ def _shingle_hashes_arrow_portable(docs: DataFrame, cfg: DedupConfig) -> DataFra
             texts = batch.column("text").to_pylist()
             out: list[list[int]] = []
             for text in texts:
-                toks = text.split() if text else []
+                toks = py_tokens(text)
                 if len(toks) < k:
                     out.append([])
                     continue
@@ -120,7 +120,7 @@ def gram_hashes_fast(docs: DataFrame, k: int, stride: int = 1,
         for batch in batches:
             doc_ids = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
-            tok_lists = [t.split() if t else [] for t in texts]
+            tok_lists = [py_tokens(t) for t in texts]
             th, lens = _token_hashes(tok_lists)
             out: list[np.ndarray] = []
             pos = 0

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from lsh_spark.config import DedupConfig
 from lsh_spark.functions.hashing import hash64, np_hash60
-from lsh_spark.functions.text import tokens_col
+from lsh_spark.functions.text import py_tokens, tokens_col
 
 N_CHUNKS = 4  # hamming_threshold 3 → 4 chunks by pigeonhole
 
@@ -91,7 +91,7 @@ def simhash_docs_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             texts = batch.column("text").to_pylist()
             out = np.zeros(len(texts), dtype=np.int64)
             for i, text in enumerate(texts):
-                toks = text.split() if text else []
+                toks = py_tokens(text)
                 if not toks:
                     continue
                 uniq, counts = np.unique(np.array(toks), return_counts=True)
@@ -107,33 +107,79 @@ def simhash_docs_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return docs.select("doc_id", "text").mapInArrow(kernel, "doc_id string, simhash bigint")
 
 
-def simhash_candidate_pairs(sh: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Pairs within Hamming ≤ threshold via chunk banding + popcount verify.
-
-    Output: (doc_a, doc_b, hamming int).
-    """
+def _chunk_keys(cfg: DedupConfig) -> "F.Column":
+    """4 × 15-bit chunk keys (pigeonhole over hamming_threshold=3)."""
     chunk_bits = cfg.simhash_bits // N_CHUNKS
     mask = (1 << chunk_bits) - 1
-    chunk_vals = F.array(*[
+    return F.array(*[
         F.shiftright(F.col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
         for i in range(N_CHUNKS)
     ])
-    chunks = sh.select(
-        "doc_id", "simhash",
-        F.posexplode(chunk_vals).alias("chunk_id", "chunk_val"),
-    )
-    a = chunks.select("chunk_id", "chunk_val",
-                      F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = chunks.select("chunk_id", "chunk_val",
-                      F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    cand = (
-        a.join(b, ["chunk_id", "chunk_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
-    )
+
+
+def _combo_keys(cfg: DedupConfig) -> "F.Column":
+    """Manku-style block-combination keys (Manku, Jain & Sarma, WWW'07 §3):
+    split the B bits into m blocks, key on every combination of c = m − t
+    blocks. Any pair within Hamming ≤ t dirties ≤ t blocks, leaving ≥ c
+    clean ones, so some combination is clean for both docs — completeness
+    is the same pigeonhole as chunk mode, but the key carries c·(B/m) bits
+    instead of B/4: for B=60, t=3 → m=6 blocks of 10 bits, C(6,3)=20 tables
+    of 30-bit keys. Expected bucket size drops from N/2^15 to N/2^30 — the
+    difference between quadratic blowup and near-uniqueness at 10^9+ docs,
+    at the cost of 20 key rows per doc instead of 4.
+    """
+    from itertools import combinations
+    t = cfg.hamming_threshold
+    bits = cfg.simhash_bits
+    m = t + 3 if bits % (t + 3) == 0 else N_CHUNKS  # 60,3 → 6 blocks
+    c = m - t
+    block_bits = bits // m
+    mask = (1 << block_bits) - 1
+    blocks = [
+        F.shiftright(F.col("simhash"), i * block_bits).bitwiseAND(F.lit(mask))
+        for i in range(m)
+    ]
+    keys = []
+    for combo in combinations(range(m), c):
+        key = F.lit(0).cast("long")
+        for j, bi in enumerate(combo):
+            key = key + F.shiftleft(blocks[bi], j * block_bits)
+        keys.append(key)
+    return F.array(*keys)
+
+
+def simhash_candidate_pairs(sh: DataFrame, cfg: DedupConfig,
+                            all_pairs: bool = False,
+                            mode: str = "combo") -> DataFrame:
+    """Pairs within Hamming ≤ threshold via LSH-table banding + popcount
+    verify. Output: (doc_a, doc_b, hamming int).
+
+    Both key modes are COMPLETE (pigeonhole) and exact after verification:
+     * ``mode="chunk"`` — 4 × 15-bit chunks. Keyspace 2^15: at N docs each
+       bucket holds ~N/32k docs and the join output grows as N²/2^15 —
+       fine to ~10^6 docs, catastrophic at web scale.
+     * ``mode="combo"`` (default) — 20 × 30-bit block combinations (see
+       ``_combo_keys``): the 100 TB path.
+
+    Hot buckets (identical simhash regions shared by huge boilerplate
+    groups) are star-linked via operators/skew.py unless ``all_pairs=True``;
+    star edges pass through the same popcount verification, so no false
+    positives — a star member whose Hamming distance to the bucket minimum
+    exceeds the threshold is dropped (recall in hot buckets is then
+    bounded by the star topology; the MinHash pass covers those pairs).
+    """
+    from lsh_spark.operators.skew import all_pair_rows, capped_pair_rows
+    keys = _chunk_keys(cfg) if mode == "chunk" else _combo_keys(cfg)
+    keyed = sh.select("doc_id", F.posexplode(keys).alias("chunk_id", "chunk_val"))
+    key_cols = ["chunk_id", "chunk_val"]
+    rows = (all_pair_rows(keyed, key_cols) if all_pairs
+            else capped_pair_rows(keyed, key_cols, cfg))
+    cand = rows.select("doc_a", "doc_b").distinct()
+    va = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.join(va, "doc_a").join(vb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= cfg.hamming_threshold)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -1,0 +1,108 @@
+"""Generic hot-bucket skew defusal for self-join pair generation.
+
+Every candidate-generation pass in the engine is the same shape: a keyed
+self-join (band hash, SimHash chunk, substring gram, winnow fingerprint)
+where one pathological key — boilerplate text shared by k docs — produces
+k·(k-1)/2 join rows before any downstream filter. At 10^12 turns a single
+viral snippet makes k millions; the join output for that one key alone
+exceeds the rest of the job combined.
+
+The defusal (north_rule: "band hashes grouped via salted groupBy to defuse
+hot-bucket skew"), factored here so MinHash bands, SimHash chunks, the
+substring gram join and the winnow overlap join all share it:
+
+ 1. ``bucket_census`` — bucket sizes via an explicit two-phase salted
+    aggregation: partial counts on (key..., salt) spread a mega-bucket's
+    reduce work over ``salt_buckets`` reducers before the final merge.
+ 2. ``capped_pair_rows`` — buckets ≤ cap expand into all pairs; buckets
+    > cap are star-linked (every member → the bucket's min doc_id):
+    k-1 edges instead of k²/2, connecting exactly the same component.
+    Star edges are real edges of the pass (all bucket members genuinely
+    share the key), so passes whose accept criterion IS key-sharing
+    (substring grams) stay sound; passes with a downstream verifier
+    (MinHash → Jaccard, SimHash → popcount) verify star edges like any
+    other candidate.
+
+Count semantics: per-key pair rows are exact for non-hot buckets; a pair
+that ALSO co-occurs in a hot bucket loses that bucket's contribution
+(only the star edges are emitted there), so aggregate counts
+(band_agreement, shared_grams, shared_fps) are exact in all-pairs mode and
+a LOWER BOUND when the cap triggers.
+
+Reference analog: none — the reference never hits this because its corpus
+caps at 50k songs in one process (``scripts/plot_all_exec.py:21-31``); this
+is the piece that makes the same algorithm viable at 10^12 turns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lsh_spark.config import DedupConfig
+
+
+def bucket_census(keyed: DataFrame, key_cols: list[str],
+                  cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
+    """(key..., bucket_size) via two-phase salted groupBy.
+
+    Spark's hash aggregate already map-side-combines; the explicit salt
+    additionally randomizes the reduce-side key so one hot key's partials
+    merge on ``salt_buckets`` reducers instead of serializing on one task.
+    """
+    salt = F.pmod(F.xxhash64(id_col), F.lit(cfg.salt_buckets)).alias("__salt")
+    partial = (
+        keyed.select(*key_cols, salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count("*").alias("__c"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.sum("__c").cast("long").alias("bucket_size"))
+    )
+
+
+def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
+                     id_col: str = "doc_id",
+                     cap: int | None = None) -> DataFrame:
+    """Per-bucket pair rows (key..., doc_a, doc_b) with doc_a < doc_b.
+
+    Buckets larger than ``cap`` (default ``cfg.hot_bucket_cap``) emit
+    star edges (bucket-min → member) instead of the full k²/2 expansion.
+    AQE skew-join splitting stays on as the backstop for the size join
+    itself (session.py).
+    """
+    cap = cap if cap is not None else cfg.hot_bucket_cap
+    sizes = bucket_census(keyed, key_cols, cfg, id_col=id_col)
+    with_size = keyed.join(sizes, key_cols)
+    small = (with_size.filter(F.col("bucket_size") <= cap)
+             .select(*key_cols, id_col))
+    hot = (with_size.filter(F.col("bucket_size") > cap)
+           .select(*key_cols, id_col))
+
+    left = small.select(*key_cols, F.col(id_col).alias("doc_a"))
+    right = small.select(*key_cols, F.col(id_col).alias("doc_b"))
+    pairs = (
+        left.join(right, key_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(*key_cols, "doc_a", "doc_b")
+    )
+    hot_min = hot.groupBy(*key_cols).agg(F.min(id_col).alias("doc_a"))
+    star = (
+        hot.join(hot_min, key_cols)
+        .filter(F.col(id_col) != F.col("doc_a"))
+        .select(*key_cols, "doc_a", F.col(id_col).alias("doc_b"))
+    )
+    return pairs.unionByName(star)
+
+
+def all_pair_rows(keyed: DataFrame, key_cols: list[str],
+                  id_col: str = "doc_id") -> DataFrame:
+    """Uncapped per-bucket pair rows — exact counts, oracle-checkable;
+    only safe when bucket sizes are known bounded."""
+    left = keyed.select(*key_cols, F.col(id_col).alias("doc_a"))
+    right = keyed.select(*key_cols, F.col(id_col).alias("doc_b"))
+    return (
+        left.join(right, key_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(*key_cols, "doc_a", "doc_b")
+    )

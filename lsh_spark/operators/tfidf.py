@@ -1,12 +1,18 @@
-"""TF-IDF weighting over token streams.
+"""TF-IDF weighting over token streams — SINGLE-SCAN.
 
-Reference analog: G2-G5 (SURVEY.md §2.8) — per-doc TF via np.unique counts
-(``scripts/song_tfidf_calculation.py:82-101``), IDF = log2(N/df) over
-per-doc-distinct terms (``:104-130``), TF·IDF per (doc, token) (``:133-186``),
-and the query-side max-TFIDF estimate (``scripts/query_tfidf_calculation.py:
-82-132``). The reference stages TF→IDF→TFIDF through pickle files for >25k
-docs (``scripts/tfidf_exec.py:108-114``); Catalyst pipelines the same three
+Reference analogs (SURVEY.md §2.8): G2 per-doc TF via np.unique counts
+(``scripts/song_tfidf_calculation.py:82-101``), G3 IDF = log2(N/df) over
+per-doc-distinct terms (``:104-130``), G4 TF·IDF per (doc, token)
+(``:133-186``), G5 query-side max-TFIDF (``scripts/query_tfidf_calculation.
+py:82-132``). The reference stages TF→IDF→TFIDF through pickle files for
+>25k docs (``scripts/tfidf_exec.py:108-114``); Catalyst pipelines the same
 joins in one plan with partial aggregation, so no staging is needed.
+
+Scale invariant (round-2 fix): the corpus is tokenized and exploded exactly
+ONCE — ``doc_token_counts`` is the single (doc_id, token, n) frame every
+quantity (tf, df, doc length, filter stats) derives from. At 100 TB the
+tokenize-explode dominates; deriving four quantities from four separate
+explodes (the round-1 shape) multiplied the dominant cost by 4.
 
 The dedup use (SURVEY.md §7.2 slice 5): drop ultra-common shingles
 (boilerplate) before signatures — ``filter_common_shingles``.
@@ -23,63 +29,97 @@ def doc_tokens(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("token"))
 
 
-def tf(docs: DataFrame) -> DataFrame:
+def doc_token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, n) occurrence counts — the ONE tokenize-explode +
+    (doc, token) shuffle every TF-IDF quantity derives from. Persist this
+    (localCheckpoint / CheckpointStore) when several quantities are
+    computed so the explode lineage is not re-run either."""
+    return (doc_tokens(docs)
+            .groupBy("doc_id", "token")
+            .agg(F.count("*").alias("n")))
+
+
+def _n_docs(docs: DataFrame) -> DataFrame:
+    """Single-row (nd) frame — counted on the docs table (no explode), so
+    token-less docs still count toward N, matching the reference which
+    sizes IDF by the corpus, not the posting list."""
+    return docs.select(F.countDistinct("doc_id").alias("nd"))
+
+
+def tf(docs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     """(doc_id, token, tf) — term frequency = count/len(doc).
     Reference ``song_tfidf_calculation.py:98``."""
-    toks = doc_tokens(docs)
-    counts = toks.groupBy("doc_id", "token").agg(F.count("*").alias("n"))
-    lens = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    counts = counts if counts is not None else doc_token_counts(docs)
+    lens = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
     return counts.join(lens, "doc_id").select(
         "doc_id", "token", (F.col("n") / F.col("len")).alias("tf"))
 
 
-def idf(docs: DataFrame) -> DataFrame:
+def idf(docs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     """(token, idf) — log2(N / df), df over distinct docs containing the
-    token. Reference ``song_tfidf_calculation.py:125-127``."""
-    toks = doc_tokens(docs)
-    n_docs = docs.select(F.countDistinct("doc_id").alias("nd"))
-    df_tok = toks.distinct().groupBy("token").agg(F.count("*").alias("df"))
-    return df_tok.crossJoin(F.broadcast(n_docs)).select(
+    token (reference ``song_tfidf_calculation.py:104-130``). ``counts`` is
+    already per (doc, token), so df is a plain row count — no distinct."""
+    counts = counts if counts is not None else doc_token_counts(docs)
+    df_tok = counts.groupBy("token").agg(F.count("*").alias("df"))
+    return df_tok.crossJoin(F.broadcast(_n_docs(docs))).select(
         "token", F.log2(F.col("nd") / F.col("df")).alias("idf"))
 
 
-def tfidf(docs: DataFrame) -> DataFrame:
-    """(doc_id, token, tfidf). One shuffle per agg; the token→idf join is a
-    broadcast when the vocabulary is small, sort-merge otherwise —
-    Catalyst's choice, both correct."""
+def tfidf_with_counts(docs: DataFrame,
+                      counts: DataFrame | None = None) -> DataFrame:
+    """(doc_id, token, n, len, tfidf) — single-scan TF-IDF: one explode,
+    one (doc, token) shuffle; lens and df are re-aggregations of the same
+    counts frame, never of the corpus."""
+    counts = counts if counts is not None else doc_token_counts(docs)
+    lens = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    df_tok = counts.groupBy("token").agg(F.count("*").alias("df"))
     return (
-        tf(docs).join(idf(docs), "token")
-        .select("doc_id", "token", (F.col("tf") * F.col("idf")).alias("tfidf"))
+        counts.join(lens, "doc_id")
+        .join(df_tok, "token")
+        .crossJoin(F.broadcast(_n_docs(docs)))
+        .select("doc_id", "token", "n", "len",
+                ((F.col("n") / F.col("len"))
+                 * F.log2(F.col("nd") / F.col("df"))).alias("tfidf"))
     )
 
 
-def query_max_tfidf(docs: DataFrame) -> DataFrame:
+def tfidf(docs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
+    """(doc_id, token, tfidf). The token→df join is a broadcast when the
+    vocabulary is small, sort-merge otherwise — Catalyst's choice."""
+    return tfidf_with_counts(docs, counts).select("doc_id", "token", "tfidf")
+
+
+def query_max_tfidf(docs: DataFrame,
+                    counts: DataFrame | None = None) -> DataFrame:
     """(token, max_tfidf) — the reference's query-side TF-IDF estimate:
     max over docs, chosen to minimize the chance of dropping a token
     (reference ``query_tfidf_calculation.py:98``)."""
-    return tfidf(docs).groupBy("token").agg(F.max("tfidf").alias("max_tfidf"))
+    return (tfidf(docs, counts)
+            .groupBy("token").agg(F.max("tfidf").alias("max_tfidf")))
 
 
-def filter_tokens_by_tfidf(docs: DataFrame, min_tfidf: float) -> DataFrame:
-    """P6: keep only (doc, token) occurrences whose tfidf > min_tfidf —
-    the reference's TF-IDF pitch filter (``scripts/tfidf_pitch_extraction.py:
-    114-181``, threshold at 131). Output: (doc_id, token, tfidf)."""
-    return tfidf(docs).filter(F.col("tfidf") > min_tfidf)
+def filter_tokens_by_tfidf(docs: DataFrame, min_tfidf: float,
+                           counts: DataFrame | None = None) -> DataFrame:
+    """P6: keep only (doc, token) entries whose tfidf > min_tfidf —
+    the reference's TF-IDF pitch filter (``scripts/tfidf_pitch_extraction.
+    py:114-181``, threshold at 131). Output: (doc_id, token, tfidf)."""
+    return tfidf(docs, counts).filter(F.col("tfidf") > min_tfidf)
 
 
-def tfidf_filter_stats(docs: DataFrame, min_tfidf: float) -> DataFrame:
+def tfidf_filter_stats(docs: DataFrame, min_tfidf: float,
+                       counts: DataFrame | None = None) -> DataFrame:
     """G12: per-doc remaining-token percentage + global emptied-doc share
     (reference ``tfidf_pitch_extraction.py:162-181``).
-    Output: one row (avg_remaining_pct, emptied_docs_pct, n_docs)."""
-    orig = doc_tokens(docs).groupBy("doc_id").agg(F.count("*").alias("n_orig"))
-    # the tfidf frame is per distinct token; recount occurrences of survivors
-    surviving = (doc_tokens(docs)
-                 .join(filter_tokens_by_tfidf(docs, min_tfidf)
-                       .select("doc_id", "token"), ["doc_id", "token"])
-                 .groupBy("doc_id").agg(F.count("*").alias("n_kept")))
-    per_doc = (orig.join(surviving, "doc_id", "left")
-               .select("doc_id", "n_orig",
-                       F.coalesce("n_kept", F.lit(0)).alias("n_kept")))
+    Output: one row (avg_remaining_pct, emptied_docs_pct, n_docs).
+
+    Derived entirely from the single-scan frame: n_orig = Σn per doc,
+    n_kept = Σn over surviving tokens — zero re-explodes (the round-1 form
+    re-derived doc_tokens four times)."""
+    t = tfidf_with_counts(docs, counts)
+    per_doc = t.groupBy("doc_id").agg(
+        F.sum("n").alias("n_orig"),
+        F.sum(F.when(F.col("tfidf") > min_tfidf, F.col("n"))
+               .otherwise(F.lit(0))).alias("n_kept"))
     return per_doc.agg(
         F.avg(F.col("n_kept") / F.col("n_orig") * 100).alias("avg_remaining_pct"),
         (F.avg(F.when(F.col("n_kept") == 0, 1.0).otherwise(0.0)) * 100)

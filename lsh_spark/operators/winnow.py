@@ -39,14 +39,19 @@ def winnow_fingerprints(docs: DataFrame, cfg: DedupConfig,
 
 
 def winnow_overlap_pairs(docs: DataFrame, cfg: DedupConfig,
-                         window: int = 4, min_shared: int = 2) -> DataFrame:
+                         window: int = 4, min_shared: int = 2,
+                         hot_fp_cap: int | None = None) -> DataFrame:
     """Doc pairs sharing ≥ min_shared winnowed fingerprints — the
-    MOSS-style overlap detector. Output: (doc_a, doc_b, shared_fps)."""
+    MOSS-style overlap detector. Output: (doc_a, doc_b, shared_fps).
+
+    ``hot_fp_cap`` star-links fingerprint buckets larger than the cap
+    (operators/skew.py): a boilerplate fingerprint shared by k docs emits
+    k-1 edges instead of k²/2. With the cap, ``shared_fps`` is a lower
+    bound for pairs touched by hot fingerprints, so the ``min_shared``
+    filter can additionally drop such pairs — the capped form trades that
+    recall for join survival at web scale; None → exact (oracle mode)."""
+    from lsh_spark.operators.suffix import shared_key_pairs
     fp = winnow_fingerprints(docs, cfg, window)
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
-    return (a.join(b, "fp_hash")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count("*").cast("long").alias("shared_fps"))
+    return (shared_key_pairs(fp.withColumnRenamed("fp_hash", "__key"),
+                             "__key", cfg, hot_fp_cap, count_col="shared_fps")
             .filter(F.col("shared_fps") >= min_shared))

@@ -87,11 +87,10 @@ def dedup_pipeline(
 
         def substring_pass():
             g = fused.select("doc_id", F.explode("grams").alias("gram_hash"))
-            a = g.select(F.col("doc_id").alias("doc_a"), "gram_hash")
-            b = g.select(F.col("doc_id").alias("doc_b"), "gram_hash")
-            return (a.join(b, "gram_hash")
-                    .filter(F.col("doc_a") < F.col("doc_b"))
-                    .select("doc_a", "doc_b").distinct())
+            return (suffix.shared_key_pairs(
+                        g, "gram_hash", cfg, cfg.hot_bucket_cap,
+                        count_col="shared_grams")
+                    .select("doc_a", "doc_b"))
     else:
         hashes = ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg))
 
@@ -112,7 +111,8 @@ def dedup_pipeline(
 
         def substring_pass():
             return (suffix.substring_candidate_pairs(
-                        docs, cfg, sample_mod=cfg.substring_sample_mod)
+                        docs, cfg, sample_mod=cfg.substring_sample_mod,
+                        hot_gram_cap=cfg.hot_bucket_cap)
                     .select("doc_a", "doc_b"))
 
     thunks = {"minhash": minhash_pass, "simhash": simhash_pass,

@@ -32,13 +32,20 @@ def read_transcript_stream(spark: SparkSession, path: str,
 
 
 def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Drop turns whose (normalized) text already arrived within the
-    watermark window. State is bounded by the watermark — at 10^12 turns
-    the state store holds only the horizon's hashes, not history."""
+    """Drop turns whose text already arrived within the watermark window.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup state for a
+    hash is evicted once its event time falls behind the watermark, so
+    state is genuinely bounded by the horizon — a turn may re-emit after
+    the horizon passes (at-least-once dedup). Plain
+    ``dropDuplicates(['text_hash'])`` would NOT bound state: Spark only
+    evicts exact-dedup state when the event-time column is part of the
+    dedup subset, so on a long-running stream that state grows forever.
+    """
     return (
         stream.withWatermark("ts", watermark)
         .withColumn("text_hash", F.md5("text"))
-        .dropDuplicates(["text_hash"])
+        .dropDuplicatesWithinWatermark(["text_hash"])
     )
 
 
