@@ -139,13 +139,25 @@ def main():
         # 32-thread top end saturates (multiprocessing busy-loop efficiency
         # 8→32 ≈ 0.63, 4→16 ≈ 0.81), so 8v32/local numbers measure the
         # hypervisor, not the engine. Host CPU-steal makes single runs vary
-        # ±2-3×; the controlled evidence run (interleaved reps, min-
-        # aggregated, larger input) is BENCH/scaling.py →
-        # BENCH/scaling_results.json. This per-round single-shot is a
-        # trend indicator only.
-        scale_path = synth.generate_tier("scale")
-        sc_4n = run_pipeline_once(16, scale_path)
-        sc_n = run_pipeline_once(4, scale_path)
+        # ±2-3×, so reps are INTERLEAVED (16,4,4,16,...) and aggregated by
+        # MIN — min-over-reps is the standard steal-noise estimator (the
+        # fastest observation is the least-stolen one); interleaving keeps
+        # both core counts exposed to the same noise regime. Full
+        # methodology + pure-python control: BENCH/BASELINE.md,
+        # BENCH/scaling_results.json.
+        # xl tier (4.1M turns): round-2 engine speedups made the smaller
+        # 'scale' tier overhead-dominated (4 and 16 cores within noise of
+        # each other) — scaling is only meaningful where compute dominates
+        # the fixed per-stage scheduling cost
+        scale_tier = os.environ.get("LSH_BENCH_SCALING_TIER", "xl")
+        scale_path = synth.generate_tier(scale_tier)
+        reps = int(os.environ.get("LSH_BENCH_SCALING_REPS", "2"))
+        raw: dict[int, list[float]] = {4: [], 16: []}
+        for r in range(reps):
+            order = (16, 4) if r % 2 == 0 else (4, 16)
+            for cores in order:
+                raw[cores].append(run_pipeline_once(cores, scale_path))
+        sc_n, sc_4n = min(raw[4]), min(raw[16])
         speedup = round(sc_n / sc_4n, 3)
         import pyarrow.parquet as pq
         sc_turns = pq.read_metadata(scale_path).num_rows
@@ -155,7 +167,9 @@ def main():
             "sec_n": sc_n, "sec_4n": sc_4n,
             "speedup": speedup,
             "efficiency": round(speedup / 4, 3),
-            "note": "single-shot; controlled evidence in BENCH/scaling_results.json",
+            "reps": reps, "raw_sec": raw,
+            "note": ("interleaved reps, min-aggregated; pure-python ceiling "
+                     "on this VM is ~0.81 at 4->16 (BENCH/BASELINE.md)"),
         }
 
     print(json.dumps(result))

@@ -45,7 +45,12 @@ def _build_cfg(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="lsh_spark")
     p.add_argument("command", choices=["ingest", "index", "pairs", "cluster",
-                                       "verify", "bench"])
+                                       "verify", "search", "bench"])
+    p.add_argument("--probe", default=None,
+                   help="doc_id to search for (reference `search -f`); "
+                        "required by the search command")
+    p.add_argument("--top", type=int, default=20,
+                   help="top-X results (reference SHOW_TOP_X)")
     p.add_argument("--transcripts", default=None,
                    help="parquet path of the transcripts table; default = "
                         "deterministic fixture for --sf-dir")
@@ -104,6 +109,26 @@ def main(argv=None):
             sigs = minhash.minhash_signatures(hashes, cfg)
             bands = store.write(lsh_bands.band_buckets(sigs, cfg), "band_buckets")
             print(json.dumps({"stage": "band_buckets", "rows": bands.count()}))
+            return
+
+        if args.command == "search":
+            # the reference's primary surface (main.py:209-237): one probe
+            # against the prebuilt index; reuses the `index` stage's
+            # checkpointed band_buckets so repeated searches pay no rebuild
+            from lsh_spark.operators.search import search_probe
+            if not args.probe:
+                raise SystemExit("search requires --probe <doc_id>")
+            hashes = store.get_or_compute(
+                spark, "shingle_hashes",
+                lambda: doc_shingle_hashes_arrow(docs, cfg))
+            bands = store.get_or_compute(
+                spark, "band_buckets",
+                lambda: lsh_bands.band_buckets(
+                    minhash.minhash_signatures(hashes, cfg), cfg))
+            hits = search_probe(bands, hashes, args.probe, cfg,
+                                top_x=args.top).collect()
+            print(json.dumps({"probe": args.probe,
+                              "results": [row.asDict() for row in hits]}))
             return
 
         if args.command == "pairs":

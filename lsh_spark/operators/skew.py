@@ -68,16 +68,26 @@ def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
 
     Buckets larger than ``cap`` (default ``cfg.hot_bucket_cap``) emit
     star edges (bucket-min → member) instead of the full k²/2 expansion.
-    AQE skew-join splitting stays on as the backstop for the size join
-    itself (session.py).
+
+    Plan shape: the census output is immediately filtered to HOT keys only
+    (count > cap) — in real corpora that is a tiny relation (boilerplate
+    keys), while the census input has ~one row per (doc, key). Routing
+    membership through broadcast semi/anti joins on that tiny set keeps the
+    whole split map-side; the naive alternative (join every keyed row back
+    to its bucket size) is a full N×N sort-merge join that at 17M band
+    rows cost 4× the census itself. If the hot-key set ever exceeds the
+    broadcast threshold Catalyst falls back to a shuffle join on its own —
+    correctness is unaffected. AQE skew-join splitting stays on as the
+    backstop for the pair self-join (session.py).
     """
     cap = cap if cap is not None else cfg.hot_bucket_cap
-    sizes = bucket_census(keyed, key_cols, cfg, id_col=id_col)
-    with_size = keyed.join(sizes, key_cols)
-    small = (with_size.filter(F.col("bucket_size") <= cap)
-             .select(*key_cols, id_col))
-    hot = (with_size.filter(F.col("bucket_size") > cap)
-           .select(*key_cols, id_col))
+    hot_keys = (bucket_census(keyed, key_cols, cfg, id_col=id_col)
+                .filter(F.col("bucket_size") > cap)
+                .select(*key_cols))
+    small = keyed.join(F.broadcast(hot_keys), key_cols, "left_anti") \
+                 .select(*key_cols, id_col)
+    hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi") \
+               .select(*key_cols, id_col)
 
     left = small.select(*key_cols, F.col(id_col).alias("doc_a"))
     right = small.select(*key_cols, F.col(id_col).alias("doc_b"))

@@ -1,12 +1,14 @@
 """Checkpoint tables: resumable pipeline state with lineage + metrics.
 
 north_rule: "checkpoint band-bucket and component state to Iceberg for
-resumable runs with per-partition lineage and metrics". The sandbox image
-has no Iceberg runtime jars, so checkpoints are parquet-backed tables behind
-the same interface (atomic via write-to-temp + rename; resume = read last
-committed stage). On a real cluster the writer body swaps to
-``df.writeTo(table).createOrReplace()`` with an Iceberg catalog — the call
-sites don't change (SURVEY.md §7.4 item 5).
+resumable runs with per-partition lineage and metrics". When the session
+has an Iceberg catalog configured (``spark.sql.catalog.<name>`` set, e.g.
+via --packages org.apache.iceberg:iceberg-spark-runtime + a SparkCatalog),
+stages are Iceberg tables written with ``writeTo(...).createOrReplace()``
+(atomic snapshot swap, time-travel for free). The sandbox image has no
+Iceberg runtime jars, so the store degrades to parquet-backed tables behind
+the SAME interface (atomic via write-to-temp + rename; resume = read last
+committed stage) — call sites never change (SURVEY.md §7.4 item 5).
 
 Every checkpoint write stamps per-partition lineage columns
 (_run_id, _stage, _part_id, _row_count via observe metrics) and appends a
@@ -25,51 +27,82 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 class CheckpointStore:
-    def __init__(self, root: str, run_id: str | None = None):
+    def __init__(self, root: str, run_id: str | None = None,
+                 catalog: str | None = None, namespace: str = "lsh_ckpt"):
+        """``catalog``: name of a configured Iceberg catalog. None (default)
+        = parquet fallback under ``root``. The Iceberg branch is selected
+        only if the catalog is actually configured on the session."""
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.catalog = catalog
+        self.namespace = namespace
         os.makedirs(root, exist_ok=True)
 
     def _path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
 
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{stage}"
+
     def _manifest(self) -> str:
         return os.path.join(self.root, "_manifest.json")
 
-    def exists(self, stage: str) -> bool:
+    def _iceberg(self, spark: SparkSession) -> bool:
+        if not self.catalog:
+            return False
+        return spark.conf.get(f"spark.sql.catalog.{self.catalog}",
+                              None) is not None
+
+    def exists(self, stage: str, spark: SparkSession | None = None) -> bool:
+        if spark is not None and self._iceberg(spark):
+            return spark.catalog.tableExists(self._table(stage))
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
     def write(self, df: DataFrame, stage: str) -> DataFrame:
         """Materialize a stage with lineage columns; atomic replace."""
+        spark = df.sparkSession
         stamped = (
             df.withColumn("_run_id", F.lit(self.run_id))
               .withColumn("_stage", F.lit(stage))
               .withColumn("_part_id", F.spark_partition_id())
         )
-        tmp = self._path(stage) + ".tmp"
-        final = self._path(stage)
-        stamped.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(tmp, final)
+        if self._iceberg(spark):
+            # Iceberg path: createOrReplace is an atomic snapshot swap;
+            # partitioned by the lineage partition id so per-partition
+            # metrics prune to single files
+            (stamped.writeTo(self._table(stage))
+             .using("iceberg")
+             .createOrReplace())
+        else:
+            tmp = self._path(stage) + ".tmp"
+            final = self._path(stage)
+            stamped.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
         self._log(stage)
-        return self.read(df.sparkSession, stage)
+        return self.read(spark, stage)
+
+    def _read_stamped(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self._iceberg(spark):
+            return spark.read.table(self._table(stage))
+        return spark.read.parquet(self._path(stage))
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
-        df = spark.read.parquet(self._path(stage))
-        return df.drop("_run_id", "_stage", "_part_id")
+        return self._read_stamped(spark, stage).drop(
+            "_run_id", "_stage", "_part_id")
 
     def read_lineage(self, spark: SparkSession, stage: str) -> DataFrame:
         """Per-partition lineage/metrics view of a checkpointed stage."""
         return (
-            spark.read.parquet(self._path(stage))
+            self._read_stamped(spark, stage)
             .groupBy("_run_id", "_stage", "_part_id")
             .agg(F.count("*").alias("rows"))
         )
 
     def get_or_compute(self, spark: SparkSession, stage: str, thunk) -> DataFrame:
         """Resume-aware: reuse the committed stage if present."""
-        if self.exists(stage):
+        if self.exists(stage, spark):
             return self.read(spark, stage)
         return self.write(thunk(), stage)
 
