@@ -236,6 +236,86 @@ def test_portable_ann_recall(spark):
     assert len(e & a) / len(e) >= 0.5  # multi-table union recall
 
 
+# ------------------------------------------- vectorized fused kernel
+
+def test_fused_vectorized_matches_per_doc_reference(spark):
+    """The batch-vectorized fused kernel must equal a literal per-doc
+    NumPy computation of the same quantities (including empty/short/
+    duplicate-token docs and doc-boundary windows)."""
+    import hashlib
+    from lsh_spark.functions.hashing import minhash_params
+    from lsh_spark.operators.fused import fused_doc_features
+    from lsh_spark.operators.shingle import _HORNER_MULT, _MASK60
+
+    M31 = 2_147_483_647
+    texts = [
+        "a b c d e f g h",           # normal
+        "a b c",                     # shorter than substring_k
+        "",                          # empty
+        "x",                         # 1 token
+        "a a a a a a a",             # duplicate tokens
+        "p q r s t u v w x y z " * 3,
+    ]
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(texts)], "doc_id string, text string")
+    cfg = DedupConfig(hash_mode="fast", shingle_k=3, substring_k=5,
+                      num_perms=8, substring_sample_mod=2)
+    got = {r["doc_id"]: r for r in fused_doc_features(docs, cfg).collect()}
+
+    def th_of(toks):
+        return [int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                               "big") for t in toks]
+
+    def roll(th, k):
+        out = []
+        for i in range(len(th) - k + 1):
+            h = np.uint64(0)
+            for j in range(k):
+                h = h * _HORNER_MULT + np.uint64(th[i + j])
+            out.append(int(h & _MASK60))
+        return out
+
+    a_vec, b_vec = minhash_params(cfg.num_perms)
+    for i, text in enumerate(texts):
+        row = got[f"d{i}"]
+        toks = text.split()
+        th = th_of(toks)
+        exp_sh = sorted(set(roll(th, 3))) if len(th) >= 3 else []
+        assert row["hashes"] == exp_sh, f"hashes d{i}"
+        exp_g = sorted({g for g in roll(th, 5) if g % 2 == 0}) \
+            if len(th) >= 5 else []
+        assert row["grams"] == exp_g, f"grams d{i}"
+        if exp_sh:
+            xr = np.array(exp_sh, np.int64) % M31
+            exp_sig = ((a_vec[:, None] * xr[None, :] + b_vec[:, None]) % M31) \
+                .min(axis=1).tolist()
+            assert row["sig"] == exp_sig, f"sig d{i}"
+        else:
+            assert row["sig"] is None
+        if toks:
+            exp_bits = 0
+            for b in range(cfg.simhash_bits):
+                s = sum(1 if (h >> b) & 1 else -1 for h in th)
+                if s > 0:
+                    exp_bits |= 1 << b
+            assert row["simhash"] == exp_bits, f"simhash d{i}"
+        else:
+            assert row["simhash"] == 0
+
+
+def test_gram_hashes_fast_stride_and_sampling(spark):
+    from lsh_spark.operators.shingle import gram_hashes_fast
+    docs = spark.createDataFrame(
+        [("a", " ".join(f"t{i}" for i in range(17))), ("b", "x y"), ("c", "")],
+        "doc_id string, text string")
+    rows = {r["doc_id"]: r["hashes"]
+            for r in gram_hashes_fast(docs, k=4, stride=3).collect()}
+    # doc a: window starts 0,3,6,9,12 (stride 3) → ≤5 distinct hashes
+    assert 1 <= len(rows["a"]) <= 5
+    assert rows["a"] == sorted(rows["a"])
+    assert rows["b"] == [] and rows["c"] == []
+
+
 # ------------------------------------------------------------- tokenizer
 
 def test_py_tokens_matches_spark_split_on_unicode_ws(spark):
