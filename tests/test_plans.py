@@ -78,3 +78,55 @@ def test_band_buckets_no_python_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # '*' prefix marks whole-stage-codegen'd operators in formatted mode
     assert "* Generate" in plan and "* Project" in plan
+
+
+def test_tfidf_no_explode_with_precomputed_counts(spark):
+    """Round-2 invariant: every TF-IDF quantity derives from the single
+    (doc, token, n) counts frame — with a persisted counts the downstream
+    plan contains NO tokenize-explode at all."""
+    docs = spark.createDataFrame([("a", "x y z"), ("b", "x q")],
+                                 "doc_id string, text string")
+    counts = tfidf.doc_token_counts(docs).localCheckpoint()
+    for df in (tfidf.tfidf_with_counts(docs, counts),
+               tfidf.tfidf_filter_stats(docs, 0.01, counts)):
+        assert "Generate" not in plan_of(df)
+
+
+def test_tfidf_lazy_path_reuses_explode_exchange(spark):
+    """Without explicit persistence, Spark's ReuseExchange must dedupe the
+    shared counts subtree at runtime (final AQE plan) — the explode+shuffle
+    is not re-executed once per derived quantity."""
+    docs = spark.createDataFrame([("a", "x y z"), ("b", "x q")],
+                                 "doc_id string, text string")
+    df = tfidf.tfidf_with_counts(docs)
+    df.collect()
+    assert "ReusedExchange" in plan_of(df)
+
+
+def test_capped_pairs_hot_split_is_broadcast(spark):
+    """The hot-key membership split must be broadcast joins (map-side),
+    never a full sort-merge of keyed rows against the census."""
+    from lsh_spark.operators.skew import capped_pair_rows
+    cfg = DedupConfig(num_perms=8)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h") for i in range(10)],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(docs, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    plan = plan_of(capped_pair_rows(bands, ["band_id", "band_hash"], cfg))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
+
+
+def test_search_probe_broadcasts_probe_side(spark):
+    from lsh_spark.operators.search import search_probe
+    cfg = DedupConfig(num_perms=8)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h") for i in range(6)],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(docs, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    plan = plan_of(search_probe(bands, hashes, "d0", cfg))
+    assert "BroadcastHashJoin" in plan
+    # the corpus-side bucket table is never shuffled for the probe join
+    assert "python" not in plan.lower() or "pythonudf" not in plan.lower()
