@@ -317,6 +317,15 @@ def q_ann_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        n_planes=4, n_tables=4)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic seeded coarse quantizer +
+    n_probe nearest-list candidate generation + exact rerank) — the second
+    ANN scale path alongside hyperplane LSH; fully oracle-reproducible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return knn.ann_ivf(emb, probes, k=KNN_K, n_lists=16, n_probe=4)
+
+
 def q_mrr_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G6: MRR of the golden duplicate partner in the band-agreement-ranked
     candidate list (reference lsh.py:320-350)."""
@@ -642,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dups": q_embedding_near_dups,
         "ann_hyperplane": q_ann_hyperplane,
+        "ann_ivf": q_ann_ivf,
         "mrr_lsh": q_mrr_lsh,
         "confidence": q_confidence,
         "media_frame_plan": q_media_frame_plan,
@@ -1394,6 +1404,54 @@ SELECT doc_id, media_type,
                   AS DOUBLE) / 65535.0, 6) AS f0,
        CAST(16 AS INT) AS dim
 FROM f
+"""
+
+    # IVF: centroids = the 16 smallest vec_ids' embeddings (deterministic
+    # seeding, list_id = rank over vec_id); assignment = argmax of rounded
+    # cosine with min-list tiebreak; probes visit their 4 nearest lists.
+    cos_vc = _sql_cosine("v.embedding", "c.centroid")
+    cos_qc = _sql_cosine("p.embedding", "c.centroid")
+    sql["ann_ivf"] = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS list_id,
+         embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT v.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY round({cos_vc}, 6) DESC, c.list_id ASC)
+             AS rk
+    FROM embeddings v CROSS JOIN cents c
+  ) WHERE rk = 1
+),
+probe_lists AS (
+  SELECT query_id, list_id FROM (
+    SELECT p.vec_id AS query_id, c.list_id,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY round({cos_qc}, 6) DESC, c.list_id ASC)
+             AS rk
+    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id < 20
+  ) WHERE rk <= 4
+),
+cand AS (
+  SELECT DISTINCT pl.query_id, a.vec_id AS neighbor_id
+  FROM probe_lists pl JOIN assign a ON a.list_id = pl.list_id
+  WHERE a.vec_id <> pl.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round({_sql_cosine('p.embedding', 'c.embedding')}, 6) AS cos_sim
+  FROM cand JOIN embeddings p ON p.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+),
+rankedv AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM rankedv WHERE rank <= {KNN_K}
 """
 
     ann_t, ann_p, ann_d = 4, 4, 64

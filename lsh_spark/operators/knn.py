@@ -207,6 +207,93 @@ def ann_hyperplane_portable(corpus: DataFrame, probes: DataFrame, k: int = 5,
     )
 
 
+def ivf_centroids(corpus: DataFrame, n_lists: int = 16,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  lloyd_iters: int = 0) -> DataFrame:
+    """(list_id, centroid) coarse quantizer for IVF.
+
+    Deterministic seeding: the centroid of list j is the corpus vector
+    whose id is the j-th smallest among hash-selected candidates — no RNG,
+    so Spark and the SQL oracle derive identical centroids. With
+    ``lloyd_iters`` > 0, k-means refinement runs as broadcast-assign +
+    groupBy-mean iterations (float mean over an unordered partitioning is
+    NOT bit-reproducible across engines, so refined centroids are for the
+    recall path, not the oracle path).
+    """
+    w = Window.orderBy(F.col(id_col))
+    seeds = (corpus.select(id_col, vec_col)
+             .withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") <= n_lists)
+             .select((F.col("__rn") - 1).cast("int").alias("list_id"),
+                     F.col(vec_col).alias("centroid")))
+    cents = seeds
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+        cents = (corpus.join(assigned, id_col)
+                 .select("list_id", F.posexplode(vec_col).alias("i", "v"))
+                 .groupBy("list_id", "i").agg(F.avg("v").alias("m"))
+                 .groupBy("list_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                      .alias("sm"))
+                 .select("list_id",
+                         F.transform("sm", lambda s: s["m"].cast("float"))
+                          .alias("centroid")))
+    return cents
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id): nearest centroid by cosine, broadcast argmax —
+    JVM-side, one pass, no shuffle of the corpus."""
+    c = centroids.select(
+        F.array_agg(F.struct("list_id", "centroid")).alias("cents"))
+    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.col(id_col).alias("vec_id"),
+        F.array_max(F.transform(
+            "cents",
+            lambda s: F.struct(
+                F.round(cosine(F.col(vec_col), s["centroid"]), 6).alias("sim"),
+                (-s["list_id"]).alias("neg_id"))
+        )).alias("best"))
+    return scored.select(
+        "vec_id", (-F.col("best.neg_id")).cast("int").alias("list_id"))
+
+
+def ann_ivf(corpus: DataFrame, probes: DataFrame, k: int = 5,
+            n_lists: int = 16, n_probe: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: assign corpus to inverted lists once, probe
+    each query against its ``n_probe`` nearest lists, exact-rerank only
+    those lists' members. The 100 TB shape: the corpus is scanned once for
+    assignment (broadcast argmax, no shuffle), the candidate join is an
+    equi-join on list_id, and rerank touches ~n_probe/n_lists of the data.
+    Deterministic (hash-free seeded centroids + fixed tie-breaks) — the
+    driver oracle reproduces it exactly in SQL.
+    """
+    cents = ivf_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
+    corpus_lists = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    # per-probe: n_probe nearest centroids (rank over the tiny centroid set)
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    pc = (p.crossJoin(F.broadcast(cents))
+          .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6)))
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("list_id"))
+    probe_lists = (pc.withColumn("rk", F.row_number().over(wp))
+                   .filter(F.col("rk") <= n_probe)
+                   .select("query_id", "list_id"))
+    cand = (probe_lists.join(corpus_lists, "list_id")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct())
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
+              .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos_sim",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int = 8, n_tables: int = 8,
                         id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -106,6 +106,53 @@ class CheckpointStore:
             return self.read(spark, stage)
         return self.write(thunk(), stage)
 
+    def write_bucketed(self, df: DataFrame, stage: str,
+                       bucket_cols: tuple[str, ...] = ("doc_id",),
+                       n_buckets: int = 16) -> DataFrame:
+        """Materialize a stage BUCKETED on ``bucket_cols`` — the co-located
+        join technique: two stages bucketed on the same key with the same
+        bucket count join WITHOUT a shuffle (each bucket file pair is a
+        map-side join; asserted in tests/test_plans.py). At 100 TB this is
+        how the repeatedly-joined tables (doc_hashes for verification, band
+        buckets for probing) avoid re-shuffling the corpus per consumer.
+        Backed by ``saveAsTable`` (bucket metadata needs the session
+        catalog; a plain parquet path cannot carry it). Iceberg mode writes
+        a ``bucket(n, col)``-partitioned table instead — same property.
+        """
+        spark = df.sparkSession
+        stamped = (df.withColumn("_run_id", F.lit(self.run_id))
+                     .withColumn("_stage", F.lit(stage))
+                     .withColumn("_part_id", F.spark_partition_id()))
+        if self._iceberg(spark):
+            writer = stamped.writeTo(self._table(stage)).using("iceberg")
+            writer = writer.partitionedBy(
+                F.bucket(n_buckets, F.col(bucket_cols[0])))
+            writer.createOrReplace()
+            self._log(stage)
+            return self.read(spark, stage)
+        # saveAsTable writes under spark.sql.warehouse.dir (a static conf,
+        # set at session build — see session.py). The in-memory catalog
+        # forgets tables between sessions while their directories persist,
+        # so clear both before writing (idempotent re-run / resume).
+        name = f"lsh_ckpt_{stage}"
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), name)
+        shutil.rmtree(loc, ignore_errors=True)
+        (stamped.write.mode("overwrite")
+         .bucketBy(n_buckets, *bucket_cols)
+         .sortBy(*bucket_cols)
+         .format("parquet")
+         .saveAsTable(name))
+        self._log(stage)
+        return spark.read.table(name).drop("_run_id", "_stage", "_part_id")
+
+    def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self._iceberg(spark):
+            return self.read(spark, stage)
+        return spark.read.table(f"lsh_ckpt_{stage}").drop(
+            "_run_id", "_stage", "_part_id")
+
     def _log(self, stage: str) -> None:
         entries = []
         if os.path.exists(self._manifest()):

@@ -50,6 +50,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LSH_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("LSH_SPARK_WAREHOUSE", "/tmp/lsh_spark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

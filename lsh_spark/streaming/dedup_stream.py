@@ -49,6 +49,98 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
+    """Per-row MinHash signature as pure Column expressions (JVM codegen,
+    no Python): tokens → k-shingles → portable/xxhash 60-bit hashes →
+    per-permutation affine min. Row-local (no aggregation), so it is legal
+    upstream of the stateful operator in a streaming plan."""
+    from lsh_spark.functions.hashing import hash64, minhash_params
+    from lsh_spark.functions.text import distinct_shingles_col, tokens_col
+    a_vec, b_vec = minhash_params(cfg.num_perms)
+    m = cfg.minhash_prime
+    hashes = F.transform(
+        distinct_shingles_col(tokens_col(text_col), cfg.shingle_k,
+                              cfg.shingle_stride),
+        lambda s: hash64(s, cfg.hash_mode))
+    a_arr = F.array(*[F.lit(int(x)) for x in a_vec])
+    b_arr = F.array(*[F.lit(int(x)) for x in b_vec])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.num_perms - 1)),
+        lambda p: F.array_min(F.transform(
+            hashes,
+            lambda h: (F.element_at(a_arr, p + 1) * (h % m)
+                       + F.element_at(b_arr, p + 1)) % m)))
+
+
+def streaming_near_dup_flags(stream: DataFrame, cfg=None,
+                             watermark: str = "1 hour") -> DataFrame:
+    """Incremental NEAR-duplicate detection on an unbounded transcript
+    stream — the streaming twin of the batch MinHash pass, built on
+    ``applyInPandasWithState`` (the custom-stateful-operator surface):
+
+     * per arriving turn, the MinHash signature is computed row-locally
+       with built-in Column expressions (no shuffle, no Python);
+     * the stream is keyed by (band_id, band_hash) — the same banding as
+       the batch index — and each bucket's state holds the FIRST doc that
+       claimed it plus a member count;
+     * a turn landing in a bucket that already has an owner is emitted as
+       a near-dup candidate flag (doc_id, band_id, dup_of) — at-most-P
+       flags per doc, dedup'd downstream exactly like batch candidates;
+     * state expires via EventTimeTimeout once the watermark passes a
+       bucket's last update, so state is bounded by the horizon at
+       10^12-turn scale, mirroring dropDuplicatesWithinWatermark.
+
+    Output: (doc_id, band_id int, dup_of string, ts timestamp).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from lsh_spark.config import DedupConfig
+    cfg = cfg or DedupConfig(num_perms=8)
+
+    docs = (
+        stream.withWatermark("ts", watermark)
+        .select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
+             .alias("doc_id"),
+            "ts",
+            _sig_col(cfg, F.col("text")).alias("sig"))
+        .filter(F.size("sig") > 0)
+        .select("doc_id", "ts", F.posexplode("sig").alias("band_id", "band_hash"))
+    )
+
+    def bucket_fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        owner, count = state.get if state.exists else (None, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "doc_id"])
+            for doc_id, ts in zip(pdf["doc_id"], pdf["ts"]):
+                if owner is None:
+                    owner = doc_id
+                elif doc_id != owner:
+                    out.append((doc_id, int(key[0]), owner, ts))
+                count += 1
+        state.update((owner, count))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600_000)
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "band_id", "dup_of", "ts"])
+
+    return (
+        docs.groupBy("band_id", "band_hash")
+        .applyInPandasWithState(
+            bucket_fn,
+            outputStructType="doc_id string, band_id int, dup_of string, "
+                             "ts timestamp",
+            stateStructType="owner string, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_turn_rates(stream: DataFrame, window: str = "1 minute",
                          watermark: str = "2 minutes") -> DataFrame:
     """Windowed ingest metrics: turns + distinct convs per window/role."""

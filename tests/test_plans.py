@@ -130,3 +130,24 @@ def test_search_probe_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus-side bucket table is never shuffled for the probe join
     assert "python" not in plan.lower() or "pythonudf" not in plan.lower()
+
+
+def test_bucketed_checkpoint_join_has_no_shuffle(spark, tmp_path):
+    """Two stages bucketed on doc_id with equal bucket counts must join
+    with zero Exchange operators (co-located map-side join)."""
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    store = CheckpointStore(str(tmp_path / "ck"))
+    a = spark.createDataFrame(
+        [(f"d{i}", i) for i in range(50)], "doc_id string, x int")
+    b = spark.createDataFrame(
+        [(f"d{i}", i * 2) for i in range(50)], "doc_id string, y int")
+    ta = store.write_bucketed(a, "stage_a", ("doc_id",), 4)
+    tb = store.write_bucketed(b, "stage_b", ("doc_id",), 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(ta.join(tb, "doc_id"))
+        assert "Exchange" not in plan, plan
+        assert ta.join(tb, "doc_id").count() == 50
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
