@@ -619,6 +619,35 @@ def q_search_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.search_probe(bands, hashes, PROBE_ID, CFG16, top_x=20)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the documents table — the
+    composition a pipeline user actually runs, as ONE declarative plan:
+
+      quality gate (score ≥ 0.5) → language gate (identified lang)
+      → exact dedup (md5 canonical) → near-dup dedup (shingle Jaccard ≥ 0.5
+      → connected components → cluster-min keep list).
+
+    Output: (doc_id) of kept documents. Every stage is individually
+    oracle-proven above; this query proves the COMPOSITION end-to-end
+    (filters push into one scan; dedup runs on survivors only)."""
+    docs = _docs_from_documents(spark, sf_dir)
+    scored = Q.doc_quality_stats(docs).select("doc_id", "quality_score")
+    lang = docs.select("doc_id", Q.lang_id(F.col("text")).alias("lang_pred"))
+    kept0 = (docs.join(scored, "doc_id").join(lang, "doc_id")
+             .filter((F.col("quality_score") >= 0.5)
+                     & (F.col("lang_pred") != "und"))
+             .select("doc_id", "text"))
+    canon = (kept0.withColumn("h", F.md5("text"))
+             .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+             .select("doc_id"))
+    survivors = kept0.join(canon, "doc_id", "left_semi")
+    hashes = shingle.doc_shingle_hashes(survivors, CFG16)
+    near = pairs.exact_jaccard_pairs(hashes, JACCARD_T).select("doc_a", "doc_b")
+    labels = connected_components(near)
+    from lsh_spark.plans.pipeline import dedup_keep_list
+    return dedup_keep_list(labels, survivors).select("doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full near-duplicate clustering of the sf0.001-tier
     transcript fixture."""
@@ -676,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_similarity": q_dist_similarity,
         "quarantine": q_quarantine,
         "search_probe": q_search_probe,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1452,6 +1482,67 @@ rankedv AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, cos_sim, rank FROM rankedv WHERE rank <= {KNN_K}
+"""
+
+    sql["corpus_curation"] = f"""
+WITH RECURSIVE {_sql_doc_documents()},
+qs AS (
+  SELECT doc_id,
+         round(
+           (CASE WHEN len({toks}) >= 10 AND len({toks}) <= 5000 THEN 0.4
+                 WHEN len({toks}) > 0 THEN 0.1 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN len({toks}) > 0
+                    THEN CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+                         / len({toks}) ELSE 0.0 END) >= 2.0
+                   AND (CASE WHEN len({toks}) > 0
+                    THEN CAST(list_sum(list_transform({toks}, t -> length(t))) AS DOUBLE)
+                         / len({toks}) ELSE 0.0 END) <= 12.0
+                   THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN (CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / length(text) ELSE 0.0 END) <= 0.2
+                   THEN 0.3 ELSE 0.1 END), 6) AS quality_score
+  FROM docs
+),
+lscored AS (SELECT doc_id, {', '.join(lang_cases)} FROM docs),
+lbest AS (SELECT doc_id, list_max([{struct_list}]) AS b FROM lscored),
+lng AS (SELECT doc_id, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END
+                         AS lang_pred FROM lbest),
+kept0 AS (
+  SELECT d.doc_id, d.text FROM docs d
+  JOIN qs ON qs.doc_id = d.doc_id
+  JOIN lng ON lng.doc_id = d.doc_id
+  WHERE qs.quality_score >= 0.5 AND lng.lang_pred <> 'und'
+),
+canon AS (SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id, md5(text) AS h FROM kept0) GROUP BY h),
+surv AS (SELECT k.doc_id, k.text FROM kept0 k
+         JOIN canon c ON c.doc_id = k.doc_id),
+sh2 AS (SELECT doc_id, unnest(list_distinct({sql_shingles(sql_tokens('text'), k)}))
+               AS shingle FROM surv),
+hashed2 AS (SELECT doc_id, {sql_hash60('shingle')} AS h FROM sh2),
+sizes2 AS (SELECT doc_id, count(*) AS n FROM hashed2 GROUP BY doc_id),
+inter2 AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+           FROM hashed2 x JOIN hashed2 y ON x.h = y.h AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+jac2 AS (SELECT doc_a, doc_b,
+                CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+         FROM inter2 JOIN sizes2 na ON inter2.doc_a = na.doc_id
+         JOIN sizes2 nb ON inter2.doc_b = nb.doc_id),
+edges2 AS (
+  SELECT doc_a AS s, doc_b AS d FROM jac2 WHERE jaccard >= {JACCARD_T}
+  UNION SELECT doc_b, doc_a FROM jac2 WHERE jaccard >= {JACCARD_T}
+),
+reach2(s, d) AS (
+  SELECT s, d FROM edges2
+  UNION SELECT r.s, e.d FROM reach2 r JOIN edges2 e ON r.d = e.s
+),
+labels2 AS (SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+            FROM reach2 GROUP BY s)
+SELECT min(doc_id) AS doc_id FROM labels2 GROUP BY cluster_id
+UNION ALL
+SELECT doc_id FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM labels2)
 """
 
     ann_t, ann_p, ann_d = 4, 4, 64
