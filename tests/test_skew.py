@@ -59,3 +59,31 @@ def test_salted_census_counts_match_plain(spark):
         F.count("*").cast("long").alias("bucket_size"))
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 40)),
+                min_size=2, max_size=60))
+def test_capped_pairs_component_equivalence_random(spark, keyed_rows):
+    """Property: for ANY (key, doc) membership multiset and a tiny cap,
+    star-linked pair rows connect exactly the same components as the dense
+    expansion, and never exceed it."""
+    from lsh_spark.operators.skew import all_pair_rows, capped_pair_rows
+    cfg = DedupConfig(hot_bucket_cap=3, salt_buckets=4)
+    rows = [(f"k{k}", f"d{d:02d}") for k, d in keyed_rows]
+    keyed = spark.createDataFrame(rows, "key string, doc_id string").distinct()
+    dense = all_pair_rows(keyed, ["key"]).select("doc_a", "doc_b")
+    capped = capped_pair_rows(keyed, ["key"], cfg).select("doc_a", "doc_b")
+    n_dense, n_capped = dense.count(), capped.count()
+    assert n_capped <= n_dense
+    if n_dense == 0:
+        assert n_capped == 0
+        return
+    cc_d = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(dense).collect()}
+    cc_c = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(capped).collect()}
+    assert cc_d == cc_c
