@@ -53,6 +53,18 @@ class DedupConfig:
     hot_bucket_cap: int = 200   # buckets larger than this are star-linked
     salt_buckets: int = 16
 
+    # optional TF-IDF boilerplate-shingle prefilter: drop shingles whose
+    # document frequency exceeds this fraction of the corpus BEFORE
+    # signatures (None = off; the hot-bucket cap already guarantees
+    # survival — this is a recall/precision knob, see operators/tfidf.py
+    # filter_common_shingles)
+    max_shingle_df_frac: float | None = None
+
+    # probe search: candidates must collide in at least this many distinct
+    # bands before exact verification/ranking (caps the mega-probe case
+    # where boilerplate text collides with everything)
+    search_min_agreement: int = 1
+
     # document granularity: whole conversation or single turn
     granularity: str = "conv"   # "conv" | "turn"
 

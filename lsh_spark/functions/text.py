@@ -22,7 +22,9 @@ from pyspark.sql import Column, functions as F
 # Python-kernel tokenizer must match it exactly — ``str.split()`` splits on
 # ALL Unicode whitespace (U+00A0, U+2003, ...) and would diverge from the
 # builtin/oracle path on such inputs. ``str.isascii`` gates a C-speed
-# fast path: for ASCII text, str.split() splits on exactly the same set.
+# fast path — but even within ASCII, str.split() also treats the four
+# separator control chars \x1c-\x1f (FS/GS/RS/US) as whitespace while
+# Java's \s does not, so the fast path additionally requires their absence.
 _ASCII_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
@@ -31,7 +33,8 @@ def py_tokens(text: str | None) -> list[str]:
     (Spark split on Java ``\\s+`` with empty strings dropped)."""
     if not text:
         return []
-    if text.isascii():
+    if (text.isascii() and "\x1c" not in text and "\x1d" not in text
+            and "\x1e" not in text and "\x1f" not in text):
         return text.split()
     return [t for t in _ASCII_WS_RE.split(text) if t]
 

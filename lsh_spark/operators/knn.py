@@ -220,16 +220,23 @@ def ivf_centroids(corpus: DataFrame, n_lists: int = 16,
     NOT bit-reproducible across engines, so refined centroids are for the
     recall path, not the oracle path).
     """
-    w = Window.orderBy(F.col(id_col))
-    seeds = (corpus.select(id_col, vec_col)
-             .withColumn("__rn", F.row_number().over(w))
-             .filter(F.col("__rn") <= n_lists)
-             .select((F.col("__rn") - 1).cast("int").alias("list_id"),
-                     F.col(vec_col).alias("centroid")))
-    cents = seeds
+    # Seed selection is orderBy().limit(): Spark plans TakeOrderedAndProject
+    # (distributed per-partition top-n + driver merge of n_lists rows), not
+    # a global single-partition sort. The row_number window below then runs
+    # over exactly n_lists rows — bounded by construction.
+    seeds = (corpus.select(F.col(id_col).alias("__sid"),
+                           F.col(vec_col).alias("centroid"))
+             .orderBy("__sid").limit(n_lists))
+    w = Window.orderBy(F.col("__sid"))
+    cents = (seeds.withColumn("list_id",
+                              (F.row_number().over(w) - 1).cast("int"))
+             .select("list_id", "centroid"))
     for _ in range(lloyd_iters):
         assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
-        cents = (corpus.join(assigned, id_col)
+        # ivf_assign always names its id output vec_id; join explicitly on
+        # corpus[id_col] so a custom id_col works too.
+        means = (corpus.join(assigned,
+                             corpus[id_col] == assigned["vec_id"])
                  .select("list_id", F.posexplode(vec_col).alias("i", "v"))
                  .groupBy("list_id", "i").agg(F.avg("v").alias("m"))
                  .groupBy("list_id")
@@ -237,6 +244,12 @@ def ivf_centroids(corpus: DataFrame, n_lists: int = 16,
                       .alias("sm"))
                  .select("list_id",
                          F.transform("sm", lambda s: s["m"].cast("float"))
+                          .alias("new_centroid")))
+        # left join: a list that loses all members keeps its previous
+        # centroid instead of silently shrinking n_lists.
+        cents = (cents.join(means, "list_id", "left")
+                 .select("list_id",
+                         F.coalesce("new_centroid", "centroid")
                           .alias("centroid")))
     return cents
 
@@ -294,16 +307,16 @@ def ann_ivf(corpus: DataFrame, probes: DataFrame, k: int = 5,
                     F.col("rank").cast("int").alias("rank")))
 
 
-def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
-                        n_planes: int = 8, n_tables: int = 8,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (bucketed, then exact-verified).
+def _verify_bucket_pairs(vectors: DataFrame, buckets: DataFrame,
+                         threshold: float, id_col: str,
+                         vec_col: str) -> DataFrame:
+    """Bucket-collision candidates → exact cosine verify ≥ threshold.
 
-    Output: (id_a, id_b, cos_sim).
-    """
-    b = hyperplane_signs(vectors, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
-    la = b.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
-    lb = b.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
+    The 100 TB join shape: pairs come from an equi-join on (table_id,
+    bucket) — never a cross join — and only candidate rows ship their
+    embedding arrays for the exact rerank."""
+    la = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
+    lb = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
     cand = (la.join(lb, ["table_id", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
@@ -315,3 +328,32 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
+                        n_planes: int = 8, n_tables: int = 8,
+                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (bucketed, then exact-verified).
+
+    Output: (id_a, id_b, cos_sim). Gaussian multi-table buckets (Arrow
+    matmul) — the scale path; recall vs the exact all-pairs form is
+    tested in tests/test_knn_tfidf_metrics.py.
+    """
+    b = hyperplane_signs(vectors, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
+    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col)
+
+
+def embedding_near_dups_portable(vectors: DataFrame, threshold: float = 0.95,
+                                 n_planes: int = 4, n_tables: int = 4,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding") -> DataFrame:
+    """Same bucketed near-dup join shape, but candidates come from the
+    DETERMINISTIC integer hyperplane family (``hyperplane_signs_portable``)
+    so the whole operator — buckets, collision join, exact verify — is
+    reproducible bit-for-bit in the DuckDB oracle (driver query
+    ``embedding_near_dups``). This puts the scale operator's plan on the
+    oracle surface; the Gaussian variant above shares the verify path.
+    """
+    b = hyperplane_signs_portable(vectors, n_planes, n_tables,
+                                  id_col=id_col, vec_col=vec_col)
+    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col)

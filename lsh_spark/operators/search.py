@@ -43,6 +43,10 @@ def search_probe(bands: DataFrame, doc_hashes: DataFrame, probe_id: str,
         .select("band_id", "doc_id").distinct()
         .groupBy("doc_id")
         .agg(F.count("*").cast("int").alias("band_agreement"))
+        # mega-probe guard: boilerplate probes collide with ~everything;
+        # require agreement in >= cfg.search_min_agreement distinct bands
+        # before shipping shingle arrays to the exact verifier.
+        .filter(F.col("band_agreement") >= cfg.search_min_agreement)
     )
     probe_set = (doc_hashes.filter(F.col("doc_id") == probe_id)
                  .select(F.col("hashes").alias("h_p")))
@@ -56,10 +60,15 @@ def search_probe(bands: DataFrame, doc_hashes: DataFrame, probe_id: str,
                     F.when(F.col("union") > 0, F.col("inter") / F.col("union"))
                      .otherwise(F.lit(1.0)))
     )
+    # Distributed top-k FIRST: orderBy().limit() plans TakeOrderedAndProject
+    # (per-partition partial top-k, merge of <= top_x rows per partition on
+    # the driver) — the candidate set never funnels through one partition.
+    # The unpartitioned row_number window then runs over <= top_x rows only
+    # (asserted in tests/test_plans.py).
+    cut = scored.orderBy(F.desc("jaccard"), F.asc("doc_id")).limit(top_x)
     w = Window.orderBy(F.desc("jaccard"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_x)
+        cut.withColumn("rank", F.row_number().over(w))
         .select(F.col("doc_id").alias("neighbor_id"), "band_agreement",
                 F.round("jaccard", 6).alias("jaccard"),
                 F.col("rank").cast("int").alias("rank"))

@@ -134,7 +134,7 @@ class CheckpointStore:
         # set at session build — see session.py). The in-memory catalog
         # forgets tables between sessions while their directories persist,
         # so clear both before writing (idempotent re-run / resume).
-        name = f"lsh_ckpt_{stage}"
+        name = self._bucketed_name(stage)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         loc = os.path.join(wh.removeprefix("file:"), name)
@@ -147,10 +147,20 @@ class CheckpointStore:
         self._log(stage)
         return spark.read.table(name).drop("_run_id", "_stage", "_part_id")
 
+    def _bucketed_name(self, stage: str) -> str:
+        """Session-catalog table name for a bucketed stage, namespaced by a
+        hash of the store root: two stores in one session (different tiers,
+        concurrent runs) must not clobber each other's same-named stages.
+        A root hash (not run_id) keeps resume working — a fresh store over
+        the same root, with a new auto run_id, still finds the table."""
+        import hashlib
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:10]
+        return f"lsh_ckpt_{tag}_{stage}"
+
     def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
         if self._iceberg(spark):
             return self.read(spark, stage)
-        return spark.read.table(f"lsh_ckpt_{stage}").drop(
+        return spark.read.table(self._bucketed_name(stage)).drop(
             "_run_id", "_stage", "_part_id")
 
     def _log(self, stage: str) -> None:

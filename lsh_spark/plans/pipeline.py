@@ -62,16 +62,34 @@ def dedup_pipeline(
     docs = ck("docs", lambda: docs)
     rejected_ref: dict[str, DataFrame] = {}
 
+    def boilerplate_filter(h: DataFrame) -> DataFrame:
+        # opt-in recall/precision knob (cfg.max_shingle_df_frac): drop
+        # boilerplate shingles before signatures AND verification — the
+        # dedup analog of the reference's min-tfidf pitch filter
+        # (scripts/tfidf_pitch_extraction.py:114-181). Hot-bucket caps
+        # already guarantee survival; this improves candidate precision.
+        if cfg.max_shingle_df_frac is None:
+            return h
+        from lsh_spark.operators.tfidf import filter_common_shingles_arrays
+        return ck("shingle_hashes_filtered",
+                  lambda: filter_common_shingles_arrays(
+                      h, cfg.max_shingle_df_frac))
+
     if cfg.hash_mode == "fast":
         # single-scan path: ONE Arrow pass over the text column produces
         # shingle hashes + MinHash signature + SimHash + sampled grams —
         # the corpus is shipped through Python exactly once
         from lsh_spark.operators.fused import fused_doc_features
         fused = ck("fused", lambda: fused_doc_features(docs, cfg))
-        hashes = fused.select("doc_id", "hashes")
+        hashes = boilerplate_filter(fused.select("doc_id", "hashes"))
 
         def minhash_pass():
-            sigs = fused.filter(F.col("sig").isNotNull()).select("doc_id", "sig")
+            if cfg.max_shingle_df_frac is not None:
+                # fused sigs were computed pre-filter; re-derive from the
+                # filtered hash arrays so signature and verification agree
+                sigs = minhash.minhash_signatures(hashes, cfg)
+            else:
+                sigs = fused.filter(F.col("sig").isNotNull()).select("doc_id", "sig")
             bands = lsh_bands.band_buckets(sigs, cfg)
             cand = lsh_bands.candidate_pairs(bands, cfg)
             verified = pairs.verify_pairs(cand, hashes, cfg).select("doc_a", "doc_b")
@@ -92,7 +110,8 @@ def dedup_pipeline(
                         count_col="shared_grams")
                     .select("doc_a", "doc_b"))
     else:
-        hashes = ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg))
+        hashes = boilerplate_filter(
+            ck("shingle_hashes", lambda: doc_shingle_hashes_arrow(docs, cfg)))
 
         def minhash_pass():
             sigs = minhash.minhash_signatures(hashes, cfg)

@@ -53,7 +53,13 @@ def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
     """Per-row MinHash signature as pure Column expressions (JVM codegen,
     no Python): tokens → k-shingles → portable/xxhash 60-bit hashes →
     per-permutation affine min. Row-local (no aggregation), so it is legal
-    upstream of the stateful operator in a streaming plan."""
+    upstream of the stateful operator in a streaming plan.
+
+    Docs with fewer than ``shingle_k`` tokens have NO shingles; for those
+    the signature is NULL (not an array of NULL mins), mirroring the batch
+    kernel's ``keep = lengths > 0`` drop (operators/minhash.py) — otherwise
+    every short turn would land in one permanent NULL bucket downstream.
+    """
     from lsh_spark.functions.hashing import hash64, minhash_params
     from lsh_spark.functions.text import distinct_shingles_col, tokens_col
     a_vec, b_vec = minhash_params(cfg.num_perms)
@@ -64,12 +70,23 @@ def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
         lambda s: hash64(s, cfg.hash_mode))
     a_arr = F.array(*[F.lit(int(x)) for x in a_vec])
     b_arr = F.array(*[F.lit(int(x)) for x in b_vec])
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.num_perms - 1)),
-        lambda p: F.array_min(F.transform(
-            hashes,
-            lambda h: (F.element_at(a_arr, p + 1) * (h % m)
-                       + F.element_at(b_arr, p + 1)) % m)))
+    return F.when(
+        F.size(hashes) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(cfg.num_perms - 1)),
+            lambda p: F.array_min(F.transform(
+                hashes,
+                lambda h: (F.element_at(a_arr, p + 1) * (h % m)
+                           + F.element_at(b_arr, p + 1)) % m))))
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark duration string ('10 seconds', '1 hour') to millis."""
+    amount, unit = spec.strip().split(None, 1)
+    unit = unit.rstrip("s").lower()
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(amount) * scale
 
 
 def streaming_near_dup_flags(stream: DataFrame, cfg=None,
@@ -97,6 +114,9 @@ def streaming_near_dup_flags(stream: DataFrame, cfg=None,
 
     from lsh_spark.config import DedupConfig
     cfg = cfg or DedupConfig(num_perms=8)
+    # State lives exactly one watermark horizon past a bucket's last update,
+    # so "state bounded by the horizon" holds for ANY watermark argument.
+    horizon_ms = _duration_ms(watermark)
 
     docs = (
         stream.withWatermark("ts", watermark)
@@ -105,8 +125,9 @@ def streaming_near_dup_flags(stream: DataFrame, cfg=None,
              .alias("doc_id"),
             "ts",
             _sig_col(cfg, F.col("text")).alias("sig"))
-        .filter(F.size("sig") > 0)
+        .filter(F.col("sig").isNotNull())
         .select("doc_id", "ts", F.posexplode("sig").alias("band_id", "band_hash"))
+        .filter(F.col("band_hash").isNotNull())
     )
 
     def bucket_fn(key, pdfs, state: GroupState):
@@ -124,7 +145,7 @@ def streaming_near_dup_flags(stream: DataFrame, cfg=None,
                     out.append((doc_id, int(key[0]), owner, ts))
                 count += 1
         state.update((owner, count))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3600_000)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + horizon_ms)
         if out:
             yield pd.DataFrame(out, columns=["doc_id", "band_id", "dup_of", "ts"])
 

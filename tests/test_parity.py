@@ -25,6 +25,10 @@ CONFIGS = [
     pytest.param(10, 1, 1, 12, 60, id="nlsh_style"),
     pytest.param(60, 15, 2, 12, 60, id="plsh_style"),
     pytest.param(10, 1, 1, 100, 36, id="nlsh_default_P100"),
+    # the reference's stress sweep goes to P=1000
+    # (code_samples/test_searches.py:31); tiny corpus keeps the NumPy
+    # oracle's 1000 seeded permutations tractable
+    pytest.param(10, 1, 1, 1000, 12, id="nlsh_stress_P1000"),
 ]
 
 

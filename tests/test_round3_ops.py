@@ -1,0 +1,188 @@
+"""Round-3 fixes: ADVICE findings (short-doc streaming NULL bucket,
+tokenizer control-char parity, checkpoint namespacing, IVF Lloyd join)
+and VERDICT items (IVF seeding plan, boilerplate-filter wiring, probe
+ranking bound, portable bucketed embedding near-dup)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from lsh_spark.config import DedupConfig
+from lsh_spark.operators import knn
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+# ---- ADVICE high: short docs must not band into a shared NULL bucket ----
+
+def test_streaming_sig_col_null_for_short_docs(spark):
+    from lsh_spark.streaming.dedup_stream import _sig_col
+    cfg = DedupConfig(num_perms=4)  # shingle_k=5 default
+    df = spark.createDataFrame(
+        [("hi",), ("ok",), ("a b c d e f g h i j",)], "text string")
+    rows = df.select(_sig_col(cfg, F.col("text")).alias("sig")).collect()
+    assert rows[0]["sig"] is None and rows[1]["sig"] is None
+    sig = rows[2]["sig"]
+    assert sig is not None and all(v is not None for v in sig)
+
+
+def test_streaming_duration_parse():
+    from lsh_spark.streaming.dedup_stream import _duration_ms
+    assert _duration_ms("10 seconds") == 10_000
+    assert _duration_ms("1 hour") == 3_600_000
+    assert _duration_ms("2 minutes") == 120_000
+
+
+# ---- ADVICE medium: \x1c-\x1f control chars must match the JVM split ----
+
+def test_py_tokens_matches_spark_on_separator_control_chars(spark):
+    from lsh_spark.functions.text import py_tokens, tokens_col
+    texts = ["a\x1cb \x1dc", "x\x1ey\x1fz", "plain text", "\x1c\x1d",
+             "tab\tsep", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_toks = [r["t"] for r in
+                  df.select(tokens_col(F.col("text")).alias("t")).collect()]
+    assert spark_toks == [py_tokens(t) for t in texts]
+
+
+# ---- ADVICE low: two checkpoint stores must not clobber bucketed stages ----
+
+def test_bucketed_checkpoint_stores_are_namespaced(spark, tmp_path):
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    s1 = CheckpointStore(str(tmp_path / "run1"))
+    s2 = CheckpointStore(str(tmp_path / "run2"))
+    a = spark.createDataFrame([("d1", 1)], "doc_id string, x int")
+    b = spark.createDataFrame([("d2", 2)], "doc_id string, x int")
+    s1.write_bucketed(a, "stage", ("doc_id",), 2)
+    s2.write_bucketed(b, "stage", ("doc_id",), 2)
+    assert [r["doc_id"] for r in s1.read_bucketed(spark, "stage").collect()] == ["d1"]
+    assert [r["doc_id"] for r in s2.read_bucketed(spark, "stage").collect()] == ["d2"]
+
+
+# ---- VERDICT #5 + ADVICE low: IVF seeding plan & Lloyd with custom id ----
+
+def test_ivf_centroids_seeds_via_take_ordered(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>")
+    cents = knn.ivf_centroids(df, n_lists=4)
+    assert "TakeOrderedAndProject" in plan_of(cents)
+    got = {r["list_id"]: r["centroid"] for r in cents.collect()}
+    assert sorted(got) == [0, 1, 2, 3]
+    assert got[0][0] == 0.0 and got[3][0] == 3.0
+
+
+def test_ivf_lloyd_refinement_custom_id_col(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0]) for i in range(12)],
+        "my_id long, embedding array<float>")
+    cents = knn.ivf_centroids(df, n_lists=2, id_col="my_id", lloyd_iters=1)
+    got = cents.collect()
+    assert len(got) == 2  # emptied lists are kept, none silently dropped
+
+
+# ---- VERDICT #6: boilerplate shingle filter wired into the pipeline ----
+
+def test_filter_common_shingles_arrays_matches_long_form(spark):
+    from lsh_spark.operators import tfidf
+    from lsh_spark.operators.shingle import doc_shingle_hashes, explode_shingles
+    cfg = DedupConfig(shingle_k=1)
+    docs = spark.createDataFrame(
+        [("d1", "common rare1"), ("d2", "common rare2"), ("d3", "common rare3")],
+        "doc_id string, text string")
+    hashes = doc_shingle_hashes(docs, cfg)
+    long_kept = tfidf.filter_common_shingles(
+        explode_shingles(hashes), max_df_frac=0.5, n_docs=3)
+    arr_kept = tfidf.filter_common_shingles_arrays(hashes, max_df_frac=0.5)
+    long_set = {(r["doc_id"], r["shingle_hash"]) for r in long_kept.collect()}
+    arr_set = {(r["doc_id"], h) for r in arr_kept.collect()
+               for h in r["hashes"]}
+    assert long_set == arr_set and len(arr_set) == 3
+
+
+def test_pipeline_boilerplate_filter_keeps_recall(spark, t1_transcripts, t1_labels):
+    from lsh_spark.plans.pipeline import dedup_pipeline
+    cfg = DedupConfig(max_shingle_df_frac=0.8)
+    lab = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_pipeline(spark, t1_transcripts, cfg,
+                                   passes=("minhash",)).collect()}
+    golden = t1_labels.collect()
+    eligible = [g for g in golden
+                if g["jaccard_true"] >= cfg.jaccard_threshold]
+    assert eligible
+    caught = sum(1 for g in eligible
+                 if lab.get(g["conv_id_a"]) is not None
+                 and lab.get(g["conv_id_a"]) == lab.get(g["conv_id_b"]))
+    assert caught / len(eligible) >= 0.99
+
+
+# ---- VERDICT "wrong #4": probe ranking is a distributed top-k ----
+
+def test_search_probe_ranking_bounded(spark):
+    from lsh_spark.operators import lsh_bands, minhash, shingle
+    from lsh_spark.operators.search import search_probe
+    cfg = DedupConfig(num_perms=8, shingle_k=2)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h") for i in range(6)],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(docs, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    res = search_probe(bands, hashes, "d0", cfg, top_x=3)
+    # the global sort is TakeOrderedAndProject (per-partition top-k), and
+    # the row_number window runs AFTER the limit (over <= top_x rows)
+    assert "TakeOrderedAndProject" in plan_of(res)
+    got = res.collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_search_probe_min_agreement_guard(spark):
+    from lsh_spark.operators import lsh_bands, minhash, shingle
+    from lsh_spark.operators.search import search_probe
+    cfg = DedupConfig(num_perms=8, shingle_k=2, search_min_agreement=9)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "a b c d e f g h") for i in range(4)],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(docs, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    # 8 bands max agreement < 9 required -> everything filtered pre-verify
+    assert search_probe(bands, hashes, "d0", cfg).count() == 0
+
+
+# ---- VERDICT #4: portable bucketed embedding near-dup ----
+
+def test_embedding_near_dups_portable_verified_subset(spark):
+    import math
+    rows = []
+    for i in range(30):
+        ang = (i % 10) * 0.31
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.1 * (i % 3), 1.0]))
+        rows.append((i + 100, [math.cos(ang) * 1.001, math.sin(ang) * 0.999,
+                               0.1 * (i % 3), 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = knn.embedding_near_dups_portable(df, threshold=0.999)
+    exact = (
+        df.alias("a").join(df.alias("b"),
+                           F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.round(
+                    F.expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+                    / (F.sqrt(F.expr("aggregate(a.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))
+                       * F.sqrt(F.expr("aggregate(b.embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * v)"))), 6)
+                .alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.999))
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    # bucketed candidates are exact-verified: no false positives ...
+    assert got_pairs <= exact_pairs
+    # ... and near-identical vectors collide in some table: high recall
+    assert len(got_pairs) >= 0.9 * len(exact_pairs) > 0
