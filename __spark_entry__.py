@@ -39,6 +39,8 @@ CFG16 = DedupConfig(num_perms=16)          # signatures / candidates
 CFG32 = DedupConfig(num_perms=32)          # verified dup pairs / clusters
 JACCARD_T = 0.5
 SUBSTR_K = 20
+LCS_MIN_CHARS = 80         # suffix_lcs: report pairs sharing >= this many bytes
+LCS_CAP_CHARS = 160        # must be <= 2*LCS_MIN_CHARS for kernel exactness
 KNN_K = 5
 EMB_T = 0.4
 MIN_TFIDF = 0.01           # reference sweep value (plot_all_exec.py:40)
@@ -295,8 +297,22 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact (non-bucketed) embedding near-dup pairs — oracle-checkable.
-    The LSH-bucketed variant is q_ann_hyperplane (rows-only)."""
+    """Embedding near-dup pairs via the BUCKETED scale operator
+    (knn.embedding_near_dups_portable): deterministic integer hyperplane
+    buckets → collision equi-join → exact cosine verify. This is the plan
+    a user should copy at 100 TB — candidates never come from a cross
+    join — and every step is replicated in the DuckDB oracle. The exact
+    all-pairs ground truth is q_embedding_near_dups_exact; bucketed recall
+    vs exact is additionally pytest-gated (tests/test_round3_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn.embedding_near_dups_portable(
+        emb, threshold=EMB_T, n_planes=4, n_tables=8)
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup — the correctness baseline the
+    bucketed operator is measured against (O(N²): oracle/fixture scale
+    only, NOT the plan to run at 100 TB — use q_embedding_near_dups)."""
     emb = load_table(spark, sf_dir, "embeddings")
     va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -463,14 +479,19 @@ def q_dedup_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_suffix_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Suffix-array LCS WITHIN candidate clusters (the scale deployment:
-    applyInPandas per cluster — parallel over clusters, no corpus-sized
-    suffix array). Rows-only: byte-level LCS is not SQL-expressible; the
-    relational token-run twin (lcs_token_runs) is fully oracle-checked."""
+    """EXACT byte-level suffix-array LCS per verified pair, fully
+    oracle-checked: for two-string groups the adjacent-suffix walk is
+    exact, and capping texts at 2*min_chars makes the kernel's sort window
+    lossless, so the DuckDB oracle re-derives the identical value by
+    substring enumeration. The cluster-scoped deployment
+    (suffix.cluster_suffix_lcs, applyInPandas per candidate cluster) is
+    pytest-gated against an independent O(n*m) DP oracle
+    (tests/test_simhash_suffix.py); the token-level relational twin is
+    lcs_token_runs."""
     docs = _conv_docs(spark, sf_dir)
     edges = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(edges)
-    return suffix.cluster_suffix_lcs(docs, labels, min_chars=120)
+    return suffix.pair_suffix_lcs(docs, edges, min_chars=LCS_MIN_CHARS,
+                                  cap_chars=LCS_CAP_CHARS)
 
 
 def q_lcs_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "knn_bruteforce": q_knn_bruteforce,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "ann_hyperplane": q_ann_hyperplane,
         "ann_ivf": q_ann_ivf,
         "mrr_lsh": q_mrr_lsh,
@@ -771,6 +793,30 @@ GROUP BY 1, 2
 WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()}
 SELECT doc_a, doc_b, inter, un AS "union", round(jaccard, 6) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+    # exact byte LCS per verified pair: every substring of doc_a's capped
+    # text with length >= LCS_MIN_CHARS is tested against doc_b via
+    # contains() — O(cap^2/2) substrings per pair, bounded below by
+    # min_chars so ~3.3k probes/pair at cap=160 (texts are ASCII at every
+    # tier, so DuckDB's char semantics equal the kernel's byte semantics)
+    sql["suffix_lcs"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
+verified AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_T}),
+pt AS (SELECT doc_id, substr(text, 1, {LCS_CAP_CHARS}) AS t FROM docs),
+sel AS (
+  SELECT v.doc_a, v.doc_b, a.t AS ta, b.t AS tb
+  FROM verified v JOIN pt a ON a.doc_id = v.doc_a
+                  JOIN pt b ON b.doc_id = v.doc_b
+),
+lens AS (SELECT doc_a, doc_b, ta, tb,
+                unnest(range({LCS_MIN_CHARS}, length(ta) + 1)) AS l FROM sel),
+subs AS (SELECT doc_a, doc_b, tb, l,
+                substr(ta, CAST(unnest(range(1, length(ta) - l + 2)) AS INT),
+                       CAST(l AS INT)) AS g FROM lens)
+SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS lcs_len
+FROM subs WHERE contains(tb, g)
+GROUP BY doc_a, doc_b
 """
 
     sql["dup_clusters"] = f"""
@@ -991,9 +1037,47 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= {KNN_K}
 """
 
     cos_ab = _sql_cosine("a.embedding", "b.embedding")
-    sql["embedding_near_dups"] = f"""
+    sql["embedding_near_dups_exact"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 6) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({cos_ab}, 6) >= {EMB_T}
+"""
+
+    # bucketed near-dup: replicate knn.embedding_near_dups_portable exactly
+    # (integer hyperplane buckets -> collision pairs -> cosine verify)
+    nd_t, nd_p, nd_d = 8, 4, 64
+    nd_plane_hash = sql_hash60(
+        "'hp:' || CAST(tt AS VARCHAR) || ':' || CAST(jj AS VARCHAR)"
+        " || ':' || CAST(ii AS VARCHAR)")
+    sql["embedding_near_dups"] = f"""
+WITH planes AS (
+  SELECT t.tt, j.jj, i.ii, (({nd_plane_hash}) % 2001) - 1000 AS c
+  FROM range({nd_t}) t(tt), range({nd_p}) j(jj), range({nd_d}) i(ii)
+),
+qv AS (
+  SELECT vec_id, i.ii AS ii,
+         CAST(floor(CAST(embedding[CAST(i.ii AS INT) + 1] AS DOUBLE) * 1000000)
+              AS BIGINT) AS q
+  FROM embeddings, range({nd_d}) i(ii)
+),
+dots AS (
+  SELECT vec_id, tt, jj, sum(q * c) AS s
+  FROM qv JOIN planes ON qv.ii = planes.ii GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tt,
+         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(jj AS INT))
+                  ELSE 0 END) AS bk
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM buckets x JOIN buckets y ON x.tt = y.tt AND x.bk = y.bk
+  WHERE x.vec_id < y.vec_id
+)
+SELECT cand.id_a, cand.id_b, round({cos_ab}, 6) AS cos_sim
+FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+          JOIN embeddings b ON b.vec_id = cand.id_b
 WHERE round({cos_ab}, 6) >= {EMB_T}
 """
 

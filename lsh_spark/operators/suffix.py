@@ -221,6 +221,48 @@ def cluster_suffix_lcs(docs: DataFrame, labels: DataFrame,
             .agg(F.max("lcs_len").cast("long").alias("lcs_len")))
 
 
+def pair_suffix_lcs(docs: DataFrame, pairs: DataFrame, min_chars: int = 80,
+                    cap_chars: int | None = None) -> DataFrame:
+    """EXACT byte-level LCS for an explicit candidate-pair list.
+
+    For a TWO-string group the adjacent-suffix walk is exact (the max
+    cross-string LCP is always attained at an adjacent cross-owner pair in
+    suffix order), and with ``cap_chars <= 2*min_chars`` the kernel's
+    fixed-width sort window covers every possible suffix, so no truncation
+    approximation remains: the reported ``lcs_len`` IS the longest common
+    substring of the (capped) texts. That makes this variant
+    SQL-expressible — the driver oracle re-derives it by substring
+    enumeration (all substrings of length >= min_chars of one side,
+    ``contains`` on the other) — unlike the multi-doc cluster walk where
+    adjacency only lower-bounds non-adjacent pairs.
+
+    Scale shape: pairs come from an upstream LSH/verify pass (candidate
+    count ≪ corpus); texts join in capped (two joins on doc_id), and each
+    Arrow batch runs the NumPy kernel per pair — no global structure.
+    Output: (doc_a, doc_b, lcs_len long), only pairs with LCS >= min_chars.
+    """
+    if cap_chars is not None:
+        assert cap_chars <= 2 * min_chars, \
+            "exactness needs the sort window (2*min_chars) to cover cap_chars"
+        docs = docs.select("doc_id",
+                           F.substring("text", 1, cap_chars).alias("text"))
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    joined = pairs.select("doc_a", "doc_b").join(ta, "doc_a").join(tb, "doc_b")
+
+    def worker(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            out = []
+            for da, db, a, b in zip(pdf["doc_a"], pdf["doc_b"],
+                                    pdf["ta"], pdf["tb"]):
+                out.extend(_suffix_lcs_group([da, db], [a, b], min_chars))
+            yield pd.DataFrame(out, columns=["doc_a", "doc_b", "lcs_len"]) \
+                .astype(_EMPTY_LCS)
+
+    return (joined.mapInPandas(worker, "doc_a string, doc_b string, lcs_len long")
+            .select("doc_a", "doc_b", F.col("lcs_len").cast("long").alias("lcs_len")))
+
+
 def longest_common_run(docs: DataFrame, cfg: DedupConfig,
                        min_tokens: int | None = None,
                        hot_gram_cap: int | None = None) -> DataFrame:

@@ -104,3 +104,26 @@ def reference_lsh(docs: dict[str, str], length: int = 10, shift: int = 1,
     perms = permutations(num_perms, len(vocab))
     sigs = signatures(doc_pieces, vocab, perms)
     return candidate_pairs(sigs), vocab, sigs
+
+
+def lcs_bytes(a: str, b: str) -> int:
+    """Independent longest-common-substring oracle: O(n*m) dynamic
+    programming over UTF-8 bytes with a NumPy rolling row — transcribed
+    from the textbook recurrence, NOT from the engine's suffix-array
+    kernel, so the two can disagree if either is wrong."""
+    import numpy as np
+    xa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    xb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(xa) == 0 or len(xb) == 0:
+        return 0
+    best = 0
+    prev = np.zeros(len(xb) + 1, dtype=np.int32)
+    for i in range(len(xa)):
+        cur = np.zeros(len(xb) + 1, dtype=np.int32)
+        eq = xb == xa[i]
+        cur[1:][eq] = prev[:-1][eq] + 1
+        m = int(cur.max())
+        if m > best:
+            best = m
+        prev = cur
+    return best

@@ -186,3 +186,88 @@ def test_embedding_near_dups_portable_verified_subset(spark):
     assert got_pairs <= exact_pairs
     # ... and near-identical vectors collide in some table: high recall
     assert len(got_pairs) >= 0.9 * len(exact_pairs) > 0
+
+
+# ---- VERDICT #2: suffix-LCS kernels vs an independent DP oracle ----
+
+def _random_docs_with_planted_overlap(seed: int, n_docs: int = 6):
+    import random
+    rng = random.Random(seed)
+    alpha = "abcdefg "
+    span = "".join(rng.choice(alpha) for _ in range(rng.randint(90, 140)))
+    docs = {}
+    for i in range(n_docs):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        docs[f"d{i}"] = (pre + span + post) if i % 2 == 0 else \
+            "".join(rng.choice(alpha) for _ in range(rng.randint(100, 220)))
+    return docs
+
+
+def test_suffix_kernel_two_docs_equals_dp_oracle():
+    from lsh_spark.operators.suffix import _suffix_lcs_group
+    from tests.oracle import lcs_bytes
+    import random
+    rng = random.Random(7)
+    for trial in range(25):
+        docs = _random_docs_with_planted_overlap(trial, n_docs=2)
+        (da, ta), (db, tb) = sorted(docs.items())
+        true = lcs_bytes(ta, tb)
+        min_chars = rng.choice([20, 60, 80])
+        # 2-doc group + window >= text length -> kernel must be EXACT
+        if max(len(ta), len(tb)) <= 2 * min_chars:
+            got = dict(((a, b), l) for a, b, l
+                       in _suffix_lcs_group([da, db], [ta, tb], min_chars))
+            if true >= min_chars:
+                assert got == {(da, db): true}, (trial, min_chars, true, got)
+            else:
+                assert got == {}
+
+
+def test_pair_suffix_lcs_matches_dp_oracle(spark):
+    from lsh_spark.operators import suffix
+    from tests.oracle import lcs_bytes
+    docs = _random_docs_with_planted_overlap(99, n_docs=8)
+    rows = [(k, v) for k, v in sorted(docs.items())]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    ids = sorted(docs)
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        "doc_a string, doc_b string")
+    cap, mn = 160, 80
+    got = {(r["doc_a"], r["doc_b"]): r["lcs_len"]
+           for r in suffix.pair_suffix_lcs(df, pairs, min_chars=mn,
+                                           cap_chars=cap).collect()}
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            l = lcs_bytes(docs[a][:cap], docs[b][:cap])
+            if l >= mn:
+                want[(a, b)] = l
+    assert got == want and want  # non-trivial: planted spans must appear
+
+
+def test_cluster_suffix_lcs_sound_vs_dp_oracle(spark):
+    """Multi-doc cluster walk: every reported value must be a genuine
+    common-substring length (== DP LCS for 2-doc adjacency, <= DP LCS in
+    general) and planted-overlap detection must hold."""
+    from lsh_spark.operators import suffix
+    from tests.oracle import lcs_bytes
+    docs = _random_docs_with_planted_overlap(3, n_docs=6)
+    rows = [(k, v) for k, v in sorted(docs.items())]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    labels = spark.createDataFrame(
+        [(k, "c0") for k in sorted(docs)], "doc_id string, cluster_id string")
+    got = {(r["doc_a"], r["doc_b"]): r["lcs_len"]
+           for r in suffix.cluster_suffix_lcs(df, labels,
+                                              min_chars=80).collect()}
+    assert got  # the planted shared span links the even docs
+    for (a, b), l in got.items():
+        assert 80 <= l <= lcs_bytes(docs[a], docs[b])
+    # adjacency walk guarantee: every doc holding the planted span is
+    # linked to at least one OTHER span holder (a sandwiched pair may be
+    # attributed via a third doc — that is the documented lower-bound
+    # semantics; the per-pair-exact form is pair_suffix_lcs)
+    evens = {f"d{i}" for i in range(6) if i % 2 == 0}
+    linked = {d for pair in got for d in pair}
+    assert evens <= linked
