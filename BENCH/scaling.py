@@ -1,4 +1,4 @@
-"""Controlled N-vs-4N scaling evidence run with Amdahl decomposition.
+"""Controlled N-vs-4N scaling evidence: tmpfs-shuffle A/B + I/O accounting.
 
 The sandbox is a Firecracker VM with heavy host-side CPU steal — identical
 runs vary ±2-3× — and raw-CPU probes show the 32-thread top end saturates
@@ -10,26 +10,34 @@ runs vary ±2-3× — and raw-CPU probes show the 32-thread top end saturates
     (min is the steal-free estimate),
   * input sized so per-stage compute dominates fixed stage latency
     (tier 'xl', ~4.1M turns),
+  * TWO storage arms for spark.local.dir — the single virtio disk
+    (/tmp, ~0.5 GB/s measured) vs tmpfs (/dev/shm, ~2 GB/s measured) —
+    isolating the shuffle-I/O share of the non-scaling Amdahl term,
+  * per-run shuffle/input/spill BYTE accounting parsed from the Spark
+    event log, so the I/O attribution is arithmetic, not argued,
   * a fixed-overhead probe (tier 't1', ~2k turns — pure stage latency)
     so the non-scaling term can be split into (a) fixed scheduling
-    latency and (b) data-proportional single-disk I/O.
+    latency and (b) data-proportional I/O.
 
 Three-point Amdahl fit t(c) = s + p/c (least squares over the min times):
-``s`` is the component that does not scale with local cores. On THIS box
-that component is dominated by shuffle/localCheckpoint writes through one
-virtio disk — a term that on a real N-vs-4N *executor* cluster scales
-with executor count (each executor brings its own disks), which is why
+``s`` is the component that does not scale with local cores. On a real
+N-vs-4N *executor* cluster the disk-I/O share of ``s`` scales with
+executor count (each executor brings its own disks), which is why
 local-mode under-estimates multi-node scaling for shuffle-heavy jobs.
 
 Writes BENCH/scaling_results.json and prints one JSON line.
 
 Usage: python BENCH/scaling.py [reps] [tier]
+Env: LSH_SCALING_ARMS=disk,tmpfs (default) | tmpfs | disk
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
@@ -42,18 +50,75 @@ from lsh_spark.session import get_spark  # noqa: E402
 
 CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8)
 CORE_POINTS = (4, 8, 16)
+EVENT_DIR = "/tmp/lsh-spark-events"
+ARM_DIRS = {"disk": "/tmp/lsh-spark-local", "tmpfs": "/dev/shm/lsh-spark-local"}
 
 
-def run_once(cores: int, path: str) -> float:
+def measure_write_bw(path: str, mib: int = 1024) -> float:
+    """Sequential write bandwidth in bytes/sec (dd, direct where supported)."""
+    target = os.path.join(path, "ddtest.bin")
+    os.makedirs(path, exist_ok=True)
+    flags = [] if path.startswith("/dev/shm") else ["oflag=direct"]
+    t0 = time.time()
+    subprocess.run(["dd", "if=/dev/zero", f"of={target}", "bs=1M",
+                    f"count={mib}", *flags], check=True,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    dt = time.time() - t0
+    os.remove(target)
+    return mib * 1024 * 1024 / dt
+
+
+def parse_event_log(app_dir: str) -> dict:
+    """Sum task I/O metrics from one application's event log."""
+    tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
+           "input_bytes": 0, "disk_spill_bytes": 0, "mem_spill_bytes": 0}
+    files = [fp for fp in
+             glob.glob(os.path.join(app_dir, "**", "*"), recursive=True)
+             if os.path.isfile(fp)]
+    for fp in sorted(files):
+        with open(fp, errors="replace") as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                ev = json.loads(line)
+                m = ev.get("Task Metrics") or {}
+                sw = m.get("Shuffle Write Metrics") or {}
+                sr = m.get("Shuffle Read Metrics") or {}
+                im = m.get("Input Metrics") or {}
+                tot["shuffle_write_bytes"] += sw.get("Shuffle Bytes Written", 0)
+                tot["shuffle_read_bytes"] += (sr.get("Local Bytes Read", 0)
+                                              + sr.get("Remote Bytes Read", 0))
+                tot["input_bytes"] += im.get("Bytes Read", 0)
+                tot["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
+                tot["mem_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
+    return tot
+
+
+def run_once(cores: int, path: str, local_dir: str | None = None,
+             with_events: bool = False) -> tuple[float, dict | None]:
+    conf = {}
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        conf["spark.local.dir"] = local_dir
+    if with_events:
+        shutil.rmtree(EVENT_DIR, ignore_errors=True)
+        os.makedirs(EVENT_DIR, exist_ok=True)
+        conf["spark.eventLog.enabled"] = "true"
+        conf["spark.eventLog.dir"] = f"file://{EVENT_DIR}"
+        conf["spark.eventLog.compress"] = "false"
+        conf["spark.eventLog.rolling.enabled"] = "false"
     spark = get_spark(f"scaling_{cores}_{time.monotonic_ns() % 9973}",
-                      cores=cores, shuffle_partitions=max(cores, 8))
+                      cores=cores, shuffle_partitions=max(cores, 8),
+                      extra_conf=conf)
     try:
         tr = spark.read.parquet(path)
         t0 = time.time()
         dedup_pipeline(spark, tr, CFG).count()
-        return round(time.time() - t0, 1)
+        wall = round(time.time() - t0, 1)
     finally:
         spark.stop()
+    io = parse_event_log(EVENT_DIR) if with_events else None
+    return wall, io
 
 
 def amdahl_fit(mins: dict[int, float]) -> tuple[float, float]:
@@ -68,45 +133,78 @@ def amdahl_fit(mins: dict[int, float]) -> tuple[float, float]:
     return round(s, 1), round(p, 1)
 
 
-def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    tier = sys.argv[2] if len(sys.argv) > 2 else "xl"
-    path = synth.generate_tier(tier)
-    t1_path = synth.generate_tier("t1")
-    import pyarrow.parquet as pq
-    turns = pq.read_metadata(path).num_rows
-
+def run_arm(arm: str, path: str, reps: int) -> dict:
+    local_dir = ARM_DIRS[arm]
     results: dict[int, list[float]] = {c: [] for c in CORE_POINTS}
+    io_by_cores: dict[int, dict] = {}
     for rep in range(reps):
         order = CORE_POINTS if rep % 2 == 0 else tuple(reversed(CORE_POINTS))
         for cores in order:
-            t = run_once(cores, path)
+            want_io = cores not in io_by_cores
+            t, io = run_once(cores, path, local_dir, with_events=want_io)
             results[cores].append(t)
-            print(f"rep{rep} cores={cores}: {t}s", file=sys.stderr, flush=True)
+            if io is not None:
+                io_by_cores[cores] = io
+            print(f"[{arm}] rep{rep} cores={cores}: {t}s",
+                  file=sys.stderr, flush=True)
     mins = {c: min(v) for c, v in results.items()}
-    # fixed stage-latency probe: same DAG, ~2k turns → data terms vanish
-    overhead = {c: run_once(c, t1_path) for c in (4, 16)}
     s, p = amdahl_fit(mins)
     t4, t16 = mins[4], mins[16]
-    out = {
-        "tier": tier, "turns": turns, "reps": reps,
-        "cores": list(CORE_POINTS),
+    return {
+        "local_dir": local_dir,
         "all_sec": {str(c): results[c] for c in CORE_POINTS},
         "min_sec": {str(c): mins[c] for c in CORE_POINTS},
         "sec_n": t4, "sec_4n": t16,
         "speedup": round(t4 / t16, 3),
         "efficiency": round(t4 / t16 / 4, 3),
-        "turns_per_sec_4n": round(turns / t16, 1),
-        "amdahl": {
-            "s_sec": s, "p_sec": p,
-            "parallel_fraction_at_4": round((p / 4) / (s + p / 4), 3),
-            "fixed_stage_latency_sec": overhead,
-            "note": ("s = non-core-scaling component on ONE box: fixed stage "
-                     "latency (see probe) + data-proportional single-disk "
-                     "shuffle/checkpoint I/O; the latter scales with "
-                     "executor count on a real cluster"),
-        },
+        "amdahl": {"s_sec": s, "p_sec": p,
+                   "parallel_fraction_at_4": round((p / 4) / (s + p / 4), 3)},
+        "io_bytes_by_cores": {str(c): v for c, v in io_by_cores.items()},
     }
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    tier = sys.argv[2] if len(sys.argv) > 2 else "xl"
+    arms = os.environ.get("LSH_SCALING_ARMS", "disk,tmpfs").split(",")
+    path = synth.generate_tier(tier)
+    t1_path = synth.generate_tier("t1")
+    import pyarrow.parquet as pq
+    turns = pq.read_metadata(path).num_rows
+
+    bw = {"disk_write_bps": round(measure_write_bw("/tmp/lsh-bwtest")),
+          "tmpfs_write_bps": round(measure_write_bw("/dev/shm/lsh-bwtest"))}
+    shutil.rmtree("/tmp/lsh-bwtest", ignore_errors=True)
+    shutil.rmtree("/dev/shm/lsh-bwtest", ignore_errors=True)
+
+    out = {"tier": tier, "turns": turns, "reps": reps,
+           "cores": list(CORE_POINTS), "bandwidth": bw, "arms": {}}
+    for arm in arms:
+        out["arms"][arm] = run_arm(arm.strip(), path, reps)
+        shutil.rmtree(ARM_DIRS[arm.strip()], ignore_errors=True)
+
+    # fixed stage-latency probe: same DAG, ~2k turns → data terms vanish
+    out["fixed_stage_latency_sec"] = {
+        str(c): run_once(c, t1_path)[0] for c in (4, 16)}
+
+    # arithmetic I/O accounting: seconds the measured shuffle+spill bytes
+    # need through each medium — compare against the Amdahl s split
+    ref_arm = out["arms"].get("tmpfs") or next(iter(out["arms"].values()))
+    io16 = ref_arm["io_bytes_by_cores"].get("16")
+    if io16:
+        moved = (io16["shuffle_write_bytes"] + io16["shuffle_read_bytes"]
+                 + io16["disk_spill_bytes"])
+        out["io_accounting"] = {
+            "bytes_moved_16c": moved,
+            "sec_through_disk": round(moved / bw["disk_write_bps"], 1),
+            "sec_through_tmpfs": round(moved / bw["tmpfs_write_bps"], 1),
+            "note": ("bytes = shuffle write + shuffle read + disk spill at "
+                     "16 cores (event-log task metrics); divide by measured "
+                     "sequential bandwidth for the serial-I/O bound. "
+                     "localCheckpoint blocks ride the block manager "
+                     "(memory-first at this RAM size) and are not counted."),
+        }
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "scaling_results.json"), "w") as f:
         json.dump(out, f, indent=1)
