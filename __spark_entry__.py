@@ -22,6 +22,7 @@ from lsh_spark import synth
 from lsh_spark.canonicalize import conversation_docs, turn_docs
 from lsh_spark.config import DedupConfig
 from lsh_spark.functions import quality as Q
+from lsh_spark.functions import hashing
 from lsh_spark.functions.hashing import M, sql_hash60, sql_perm_table
 from lsh_spark.functions.text import sql_shingles, sql_tokens
 from lsh_spark.functions.vectors import cosine
@@ -669,6 +670,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_list(labels, survivors).select("doc_id")
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Steady-state ingest: dedup a NEW batch (deterministic 1-in-10 hash
+    split of the convs) against the band index built from the other 9/10,
+    plus a within-batch pass — the corpus is never re-clustered per delta
+    (plans/pipeline.py:incremental_dedup_flags). Cap lifted so pair
+    generation is exact for the oracle; the hot-index-bucket star path is
+    pytest-gated (tests/test_round3_ops.py)."""
+    docs = _conv_docs(spark, sf_dir)
+    is_new = F.pmod(hashing.portable_hash64(F.col("doc_id")), F.lit(10)) == 0
+    batch = docs.filter(is_new)
+    corpus = docs.filter(~is_new)
+    cfg = CFG16.with_(hot_bucket_cap=1_000_000_000)
+    index_hashes = shingle.doc_shingle_hashes(corpus, cfg)
+    index_bands = lsh_bands.band_buckets(
+        minhash.minhash_signatures(index_hashes, cfg), cfg)
+    from lsh_spark.plans.pipeline import incremental_dedup_flags
+    return incremental_dedup_flags(batch, index_bands, index_hashes, cfg)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full near-duplicate clustering of the sf0.001-tier
     transcript fixture."""
@@ -728,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine": q_quarantine,
         "search_probe": q_search_probe,
         "corpus_curation": q_corpus_curation,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -817,6 +838,51 @@ subs AS (SELECT doc_a, doc_b, tb, l,
 SELECT doc_a, doc_b, CAST(max(l) AS BIGINT) AS lcs_len
 FROM subs WHERE contains(tb, g)
 GROUP BY doc_a, doc_b
+"""
+
+    # incremental dedup: batch = convs with hash60(doc_id)%10 == 0 probing
+    # the index built from the rest, plus within-batch pairs; both candidate
+    # sets Jaccard-verified
+    sql["incremental_dedup"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)},
+mark AS (SELECT doc_id, ({sql_hash60('doc_id')}) % 10 = 0 AS is_new FROM docs),
+cand_index AS (
+  SELECT n.doc_id AS doc_a, o.doc_id AS doc_b,
+         CAST(count(*) AS INT) AS band_agreement
+  FROM mh n JOIN mh o ON n.perm_id = o.perm_id AND n.minhash = o.minhash
+  JOIN mark mn ON mn.doc_id = n.doc_id
+  JOIN mark mo ON mo.doc_id = o.doc_id
+  WHERE mn.is_new AND NOT mo.is_new
+  GROUP BY 1, 2
+),
+cand_batch AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         CAST(count(*) AS INT) AS band_agreement
+  FROM mh x JOIN mh y ON x.perm_id = y.perm_id AND x.minhash = y.minhash
+                     AND x.doc_id < y.doc_id
+  JOIN mark mx ON mx.doc_id = x.doc_id
+  JOIN mark my ON my.doc_id = y.doc_id
+  WHERE mx.is_new AND my.is_new
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT doc_a, doc_b, band_agreement, 'index' AS match_kind FROM cand_index
+  UNION ALL
+  SELECT doc_a, doc_b, band_agreement, 'batch' AS match_kind FROM cand_batch
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+pi AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+iv AS (SELECT pi.doc_a, pi.doc_b, count(*) AS inter
+       FROM pi JOIN hashed ha ON ha.doc_id = pi.doc_a
+               JOIN hashed hb ON hb.doc_id = pi.doc_b AND hb.h = ha.h
+       GROUP BY 1, 2)
+SELECT c.doc_a, c.doc_b, c.band_agreement,
+       round(CAST(iv.inter AS DOUBLE) / (na.n + nb.n - iv.inter), 6) AS jaccard,
+       c.match_kind
+FROM cand c JOIN iv ON iv.doc_a = c.doc_a AND iv.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE CAST(iv.inter AS DOUBLE) / (na.n + nb.n - iv.inter) >= {JACCARD_T}
 """
 
     sql["dup_clusters"] = f"""

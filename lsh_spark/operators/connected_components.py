@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(pairs: DataFrame, max_iter: int = 50,
                          small_graph_partitions: int = 8,
-                         small_graph_edges: int = 2_000_000) -> DataFrame:
+                         small_graph_edges: int = 2_000_000,
+                         store=None, stage_prefix: str = "cc") -> DataFrame:
     """(doc_a, doc_b) edges → (doc_id, cluster_id) with cluster_id = min
     member. Singletons are not emitted (docs absent from ``pairs`` are their
     own cluster by definition).
@@ -36,6 +37,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
     shuffle_partitions-many — the per-iteration scheduling overhead is the
     serial term of the whole pipeline's Amdahl fraction. Above the cutoff
     the natural partitioning is kept (the 10^12-turn path).
+
+    ``store`` (plans/checkpoint.CheckpointStore): when given, the LABEL
+    STATE itself is committed per iteration as stage
+    ``{stage_prefix}_iter{n}`` (north_rule: "component state to Iceberg
+    for resumable runs") — a killed run resumes label propagation from the
+    last committed iteration instead of restarting the loop. At 10^12
+    turns an iteration is a multi-TB shuffle; re-running converged
+    iterations is the single most expensive kind of lost work.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -52,7 +61,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    start_iter = 0
+    if store is not None:
+        spark = pairs.sparkSession
+        for i in range(max_iter, 0, -1):
+            if store.exists(f"{stage_prefix}_iter{i}", spark):
+                labels = store.read(spark, f"{stage_prefix}_iter{i}")
+                start_iter = i
+                break
+    for _it in range(start_iter, max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -71,6 +88,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         new_labels = new_labels.localCheckpoint()
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
+        if store is not None:
+            labels = store.write(labels, f"{stage_prefix}_iter{_it + 1}")
         if changed == 0:
             break
     return labels

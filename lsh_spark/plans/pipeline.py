@@ -157,7 +157,9 @@ def dedup_pipeline(
         edges = edges.unionByName(ef)
     edges = edges.distinct()
 
-    labels = connected_components(edges)
+    # with a store, the CC loop also commits per-iteration label state
+    # (cc_iter{n} stages) — a killed run resumes label propagation itself
+    labels = connected_components(edges, store=store)
     if store is not None:
         labels = store.write(labels, "clusters")
     return labels
@@ -169,6 +171,88 @@ def dedup_keep_list(labels: DataFrame, docs: DataFrame) -> DataFrame:
     keep_clustered = labels.groupBy("cluster_id").agg(F.min("doc_id").alias("doc_id"))
     singletons = docs.select("doc_id").join(labels.select("doc_id"), "doc_id", "left_anti")
     return keep_clustered.select("doc_id").unionByName(singletons)
+
+
+def incremental_dedup_flags(new_docs: DataFrame, index_bands: DataFrame,
+                            index_hashes: DataFrame,
+                            cfg: DedupConfig) -> DataFrame:
+    """Dedup a NEW batch against an existing band index — the steady-state
+    ingest operation at 10^12 turns: the corpus is NEVER re-clustered per
+    delta; new docs probe the checkpointed ``(band_id, band_hash, doc_id)``
+    table (plans/checkpoint.py — store it bucketed on the band key and the
+    big side never reshuffles), plus a within-batch pass so dups arriving
+    in the same delta are caught too.
+
+    Skew: an index bucket holding k ≫ cap members (boilerplate) would emit
+    k rows per colliding new doc; buckets above ``cfg.hot_bucket_cap`` are
+    collapsed to their min-doc representative (census via the shared salted
+    skew module) — the flag still fires against a genuine key-sharer and
+    the verifier still checks it exactly.
+
+    Output: (doc_a = new doc, doc_b = matched doc, band_agreement,
+    jaccard, match_kind 'index'|'batch'), Jaccard-verified ≥ threshold.
+    """
+    from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
+    from lsh_spark.operators.skew import bucket_census
+
+    new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
+    new_sigs = minhash.minhash_signatures(new_hashes, cfg)
+    new_bands = lsh_bands.band_buckets(new_sigs, cfg)
+
+    census = bucket_census(index_bands, ["band_id", "band_hash"], cfg)
+    reps = (index_bands
+            .join(F.broadcast(census.filter(
+                F.col("bucket_size") > cfg.hot_bucket_cap)),
+                ["band_id", "band_hash"], "left_semi")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("doc_id").alias("doc_id")))
+    cold = (index_bands
+            .join(F.broadcast(census.filter(
+                F.col("bucket_size") > cfg.hot_bucket_cap)),
+                ["band_id", "band_hash"], "left_anti"))
+    probe_side = cold.unionByName(reps).withColumnRenamed("doc_id", "doc_b")
+
+    vs_index = (
+        new_bands.join(probe_side, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") != F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b", "band_id").distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("band_agreement"))
+        .withColumn("match_kind", F.lit("index")))
+    vs_batch = (lsh_bands.candidate_pairs(new_bands, cfg)
+                .withColumn("match_kind", F.lit("batch")))
+    cand = vs_index.unionByName(vs_batch)
+
+    all_hashes = index_hashes.unionByName(new_hashes)
+    verified = pairs.verify_pairs(
+        cand.select("doc_a", "doc_b", "band_agreement"), all_hashes, cfg)
+    return verified.join(
+        cand.select("doc_a", "doc_b", "match_kind"), ["doc_a", "doc_b"]
+    ).select("doc_a", "doc_b", "band_agreement",
+             F.round("jaccard", 6).alias("jaccard"), "match_kind")
+
+
+def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
+                      store: CheckpointStore, cfg: DedupConfig | None = None,
+                      bands_stage: str = "bands",
+                      hashes_stage: str = "shingle_hashes",
+                      update_index: bool = True) -> DataFrame:
+    """Store-aware wrapper: probe the checkpointed index, then fold the new
+    batch's bands + shingle hashes back into the store so the next delta
+    sees this one."""
+    cfg = cfg or DedupConfig()
+    from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
+    index_bands = store.read(spark, bands_stage)
+    index_hashes = store.read(spark, hashes_stage)
+    flags = incremental_dedup_flags(new_docs, index_bands, index_hashes, cfg)
+    if update_index:
+        flags = flags.localCheckpoint()  # materialize before index mutation
+        new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
+        new_bands = lsh_bands.band_buckets(
+            minhash.minhash_signatures(new_hashes, cfg), cfg)
+        store.write(index_bands.unionByName(new_bands), bands_stage)
+        store.write(index_hashes.unionByName(new_hashes), hashes_stage)
+    return flags
 
 
 def exact_pass(docs: DataFrame) -> DataFrame:

@@ -271,3 +271,103 @@ def test_cluster_suffix_lcs_sound_vs_dp_oracle(spark):
     evens = {f"d{i}" for i in range(6) if i % 2 == 0}
     linked = {d for pair in got for d in pair}
     assert evens <= linked
+
+
+# ---- incremental dedup: probe a checkpointed index with a new batch ----
+
+def _inc_fixture(spark):
+    from lsh_spark.operators import lsh_bands, minhash, shingle
+    cfg = DedupConfig(num_perms=16, shingle_k=2)
+    corpus = spark.createDataFrame(
+        [("old1", "alpha beta gamma delta epsilon zeta"),
+         ("old2", "one two three four five six seven"),
+         ("old3", "completely different text about ships and sails")],
+        "doc_id string, text string")
+    batch = spark.createDataFrame(
+        [("new1", "alpha beta gamma delta epsilon zeta"),      # dup of old1
+         ("new2", "unrelated fresh content nothing shared xyz"),
+         ("new3", "unrelated fresh content nothing shared xyz")],  # dup of new2
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(corpus, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    return cfg, corpus, batch, hashes, bands
+
+
+def test_incremental_dedup_flags_index_and_batch(spark):
+    from lsh_spark.plans.pipeline import incremental_dedup_flags
+    cfg, corpus, batch, hashes, bands = _inc_fixture(spark)
+    got = {(r["doc_a"], r["doc_b"]): r["match_kind"]
+           for r in incremental_dedup_flags(batch, bands, hashes, cfg).collect()}
+    assert got == {("new1", "old1"): "index", ("new2", "new3"): "batch"}
+
+
+def test_incremental_dedup_hot_index_bucket_star(spark):
+    """A boilerplate index bucket above the cap collapses to its min-doc
+    representative: the new doc is still flagged, against a genuine
+    key-sharer, with bounded join width."""
+    from lsh_spark.operators import lsh_bands, minhash, shingle
+    from lsh_spark.plans.pipeline import incremental_dedup_flags
+    cfg = DedupConfig(num_perms=8, shingle_k=2, hot_bucket_cap=3)
+    corpus = spark.createDataFrame(
+        [(f"old{i}", "spam spam spam wonderful spam baked beans")
+         for i in range(10)], "doc_id string, text string")
+    batch = spark.createDataFrame(
+        [("new1", "spam spam spam wonderful spam baked beans")],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(corpus, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    got = incremental_dedup_flags(batch, bands, hashes, cfg).collect()
+    # every bucket is hot (10 > 3): exactly ONE flag, vs the min doc
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [("new1", "old0")]
+    assert got[0]["jaccard"] == 1.0
+
+
+def test_incremental_dedup_store_roundtrip(spark, tmp_path):
+    from lsh_spark.operators import lsh_bands, minhash, shingle
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    from lsh_spark.plans.pipeline import incremental_dedup
+    cfg, corpus, batch, hashes, bands = _inc_fixture(spark)
+    store = CheckpointStore(str(tmp_path / "ck"))
+    store.write(bands, "bands")
+    store.write(hashes, "shingle_hashes")
+    flags = incremental_dedup(spark, batch, store, cfg)
+    assert flags.count() == 2
+    # the index absorbed the batch: a re-arriving copy of new2 now flags
+    # against the stored batch docs via the INDEX path
+    again = spark.createDataFrame(
+        [("new9", "unrelated fresh content nothing shared xyz")],
+        "doc_id string, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["match_kind"]
+           for r in incremental_dedup(spark, again, store, cfg,
+                                      update_index=False).collect()}
+    assert got == {("new9", "new2"): "index", ("new9", "new3"): "index"}
+
+
+# ---- CC component-state checkpointing + resume ----
+
+def test_cc_label_state_resume(spark, tmp_path):
+    import json
+    from lsh_spark.operators.connected_components import connected_components
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    # a path graph needs several hash-min iterations to converge
+    chain = [(f"n{i}", f"n{i+1}") for i in range(6)]
+    edges = spark.createDataFrame(chain, "doc_a string, doc_b string")
+    root = str(tmp_path / "cc")
+    full = {(r["doc_id"], r["cluster_id"])
+            for r in connected_components(
+                edges, store=CheckpointStore(root)).collect()}
+    assert full == {(f"n{i}", "n0") for i in range(7)}
+    with open(f"{root}/_manifest.json") as f:
+        n_stages_first = len(json.load(f))
+    assert n_stages_first >= 2  # several committed iterations
+
+    # a fresh store over the same root resumes from the last committed
+    # iteration: exactly ONE more stage (the convergence re-check), not a
+    # full re-run of the loop
+    resumed = {(r["doc_id"], r["cluster_id"])
+               for r in connected_components(
+                   edges, store=CheckpointStore(root)).collect()}
+    assert resumed == full
+    with open(f"{root}/_manifest.json") as f:
+        n_stages_second = len(json.load(f))
+    assert n_stages_second == n_stages_first + 1
