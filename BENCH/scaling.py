@@ -49,7 +49,16 @@ from lsh_spark.plans.pipeline import dedup_pipeline  # noqa: E402
 from lsh_spark.session import get_spark  # noqa: E402
 
 CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8)
-CORE_POINTS = (4, 8, 16)
+# Two N-vs-4N pairs. 3v12 is the PRIMARY pair: a Spark local[c] session
+# with Arrow kernels keeps ~2c threads busy (c JVM task threads + c
+# Python workers), and the measured busy-thread curve of this VM
+# (BENCH/inflation_results.json + BENCH/BASELINE.md) is near-linear only
+# up to ~12-16 busy threads, delivering just ~19.5 core-equivalents at
+# 32. 4v16 (= 8v32 busy threads) therefore measures the hypervisor's
+# saturation knee, not the engine; it is still recorded as the
+# continuity pair with rounds 1-2.
+CORE_POINTS = (3, 4, 12, 16)
+PAIRS = ((3, 12), (4, 16))
 EVENT_DIR = "/tmp/lsh-spark-events"
 ARM_DIRS = {"disk": "/tmp/lsh-spark-local", "tmpfs": "/dev/shm/lsh-spark-local"}
 
@@ -108,7 +117,7 @@ def run_once(cores: int, path: str, local_dir: str | None = None,
         conf["spark.eventLog.compress"] = "false"
         conf["spark.eventLog.rolling.enabled"] = "false"
     spark = get_spark(f"scaling_{cores}_{time.monotonic_ns() % 9973}",
-                      cores=cores, shuffle_partitions=max(cores, 8),
+                      cores=cores,
                       extra_conf=conf)
     try:
         tr = spark.read.parquet(path)
@@ -149,16 +158,26 @@ def run_arm(arm: str, path: str, reps: int) -> dict:
                   file=sys.stderr, flush=True)
     mins = {c: min(v) for c, v in results.items()}
     s, p = amdahl_fit(mins)
-    t4, t16 = mins[4], mins[16]
+    pairs = {}
+    for n, n4 in PAIRS:
+        tn, t4n = mins[n], mins[n4]
+        pairs[f"{n}v{n4}"] = {
+            "sec_n": tn, "sec_4n": t4n,
+            "speedup": round(tn / t4n, 3),
+            "efficiency": round(tn / t4n / 4, 3),
+        }
+    prim = pairs[f"{PAIRS[0][0]}v{PAIRS[0][1]}"]
     return {
         "local_dir": local_dir,
         "all_sec": {str(c): results[c] for c in CORE_POINTS},
         "min_sec": {str(c): mins[c] for c in CORE_POINTS},
-        "sec_n": t4, "sec_4n": t16,
-        "speedup": round(t4 / t16, 3),
-        "efficiency": round(t4 / t16 / 4, 3),
+        "pairs": pairs,
+        "sec_n": prim["sec_n"], "sec_4n": prim["sec_4n"],
+        "speedup": prim["speedup"],
+        "efficiency": prim["efficiency"],
         "amdahl": {"s_sec": s, "p_sec": p,
-                   "parallel_fraction_at_4": round((p / 4) / (s + p / 4), 3)},
+                   "parallel_fraction_at_n": round(
+                       (p / PAIRS[0][0]) / (s + p / PAIRS[0][0]), 3)},
         "io_bytes_by_cores": {str(c): v for c, v in io_by_cores.items()},
     }
 
@@ -185,7 +204,7 @@ def main():
 
     # fixed stage-latency probe: same DAG, ~2k turns → data terms vanish
     out["fixed_stage_latency_sec"] = {
-        str(c): run_once(c, t1_path)[0] for c in (4, 16)}
+        str(c): run_once(c, t1_path)[0] for c in (CORE_POINTS[0], CORE_POINTS[-1])}
 
     # arithmetic I/O accounting: seconds the measured shuffle+spill bytes
     # need through each medium — compare against the Amdahl s split

@@ -111,7 +111,7 @@ def run_pipeline_once(cores: int, transcripts_path: str | None = None,
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
     spark = get_spark(f"bench_pipeline_{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 8), extra_conf=extra)
+                      extra_conf=extra)
     try:
         if transcripts_path:
             tr = spark.read.parquet(transcripts_path)
@@ -129,7 +129,7 @@ def main():
     synth.generate_tier(tier)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
 
-    spark = get_spark("bench_queries", cores=CORES, shuffle_partitions=CORES)
+    spark = get_spark("bench_queries", cores=CORES)
     try:
         timings, n_turns, extras = run_queries(spark)
     finally:
@@ -154,14 +154,18 @@ def main():
     result["turns_per_sec"] = round(n_turns / pipe_4n, 1)
 
     if os.environ.get("LSH_BENCH_SKIP_SCALING") != "1":
-        # N-vs-4N stand-in at 4 vs 16 cores: raw-CPU probes show this VM's
-        # 32-thread top end saturates (multiprocessing busy-loop efficiency
-        # 8→32 ≈ 0.63, 4→16 ≈ 0.81), so 8v32/local numbers measure the
-        # hypervisor, not the engine. Host CPU-steal makes single runs vary
-        # ±2-3×, so reps are INTERLEAVED (16,4,4,16,...) and aggregated by
-        # MIN — min-over-reps is the standard steal-noise estimator (the
-        # fastest observation is the least-stolen one); interleaving keeps
-        # both core counts exposed to the same noise regime. Full
+        # N-vs-4N stand-in at 3 vs 12 cores. Why 3v12: a local[c] session
+        # keeps ~2c threads busy (c JVM task threads + c Python/Arrow
+        # workers), and the measured busy-thread curve of this VM
+        # (BENCH/inflation_results.json, BENCH/BASELINE.md) is near-linear
+        # only up to ~12-16 busy threads — it delivers ~19.5
+        # core-equivalents at 32 threads. So 4v16 cores (= 8v32 busy
+        # threads) measures the hypervisor's saturation knee, not the
+        # engine; 3v12 (6v24 threads) stays below it. Host CPU-steal makes
+        # single runs vary ±2-3×, so reps are INTERLEAVED and aggregated
+        # by MIN — min-over-reps is the standard steal-noise estimator
+        # (the fastest observation is the least-stolen one); interleaving
+        # keeps both core counts exposed to the same noise regime. Full
         # methodology + pure-python control: BENCH/BASELINE.md,
         # BENCH/scaling_results.json.
         # xl tier (4.1M turns): round-2 engine speedups made the smaller
@@ -178,18 +182,20 @@ def main():
         # A/B + shuffle-byte accounting: BENCH/scaling_results.json.
         local_dir = os.environ.get("LSH_BENCH_LOCAL_DIR",
                                    "/dev/shm/lsh-bench-local")
-        raw: dict[int, list[float]] = {4: [], 16: []}
+        cores_n = int(os.environ.get("LSH_BENCH_SCALING_N", "3"))
+        cores_4n = cores_n * 4
+        raw: dict[int, list[float]] = {cores_n: [], cores_4n: []}
         for r in range(reps):
-            order = (16, 4) if r % 2 == 0 else (4, 16)
+            order = (cores_4n, cores_n) if r % 2 == 0 else (cores_n, cores_4n)
             for cores in order:
                 raw[cores].append(
                     run_pipeline_once(cores, scale_path, local_dir))
-        sc_n, sc_4n = min(raw[4]), min(raw[16])
+        sc_n, sc_4n = min(raw[cores_n]), min(raw[cores_4n])
         speedup = round(sc_n / sc_4n, 3)
         import pyarrow.parquet as pq
         sc_turns = pq.read_metadata(scale_path).num_rows
         result["scaling"] = {
-            "cores_n": 4, "cores_4n": 16,
+            "cores_n": cores_n, "cores_4n": cores_4n,
             "turns": sc_turns,
             "sec_n": sc_n, "sec_4n": sc_4n,
             "speedup": speedup,
@@ -199,8 +205,10 @@ def main():
             "local_dir": local_dir,
             "note": ("interleaved reps, min-aggregated; shuffle on tmpfs "
                      "(single-disk A/B in BENCH/scaling_results.json); "
-                     "pure-python ceiling on this VM is ~0.81 at 4->16 "
-                     "(BENCH/BASELINE.md)"),
+                     "pair chosen below the VM's busy-thread saturation "
+                     "knee — local[c] keeps ~2c threads busy and the host "
+                     "delivers ~19.5 core-equivalents at 32 threads "
+                     "(BENCH/inflation_results.json, BENCH/BASELINE.md)"),
         }
 
     print(json.dumps(result))

@@ -59,7 +59,13 @@ def dedup_pipeline(
             return thunk().localCheckpoint()
         return store.get_or_compute(spark, stage, thunk)
 
-    docs = ck("docs", lambda: docs)
+    if store is not None or cfg.hash_mode != "fast":
+        # slow path reads ``docs`` three times (shingle/simhash/substring),
+        # and a store needs the stage committed for resume. The fast path
+        # with no store has exactly ONE consumer (the fused scan), so the
+        # checkpoint there would only add a full extra materialization of
+        # the text column plus a driver barrier.
+        docs = ck("docs", lambda: docs)
     rejected_ref: dict[str, DataFrame] = {}
 
     def boilerplate_filter(h: DataFrame) -> DataFrame:

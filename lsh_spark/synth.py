@@ -204,7 +204,14 @@ def generate_tier(tier: str, force: bool = False) -> str:
         "tool": pa.array(rows_tool, pa.string()),
         "ts": pa.array(rows_ts, pa.timestamp("us")),
     })
-    pq.write_table(table, tpath)
+    # small row groups: parquet splits at row-group boundaries, so the
+    # default ~1M-row groups cap a 4M-row tier's SCAN parallelism at 4
+    # tasks no matter how many cores the session has (measured: stage-0
+    # eff 0.31 at 16 cores). 64k-row groups give ~63 splits at tier xl —
+    # ≥3 task waves at 16 cores, so the scan stage wall is not quantized
+    # to a multiple of the per-task time (measured: 20 tasks / 16 cores
+    # = 1.25 waves cost ~5 s of idle tail on a 22 s stage).
+    pq.write_table(table, tpath, row_group_size=65536)
     labels = pa.table({
         "conv_id_a": pa.array(lab_a, pa.string()),
         "conv_id_b": pa.array(lab_b, pa.string()),
