@@ -48,17 +48,27 @@ from lsh_spark.config import DedupConfig  # noqa: E402
 from lsh_spark.plans.pipeline import dedup_pipeline  # noqa: E402
 from lsh_spark.session import get_spark  # noqa: E402
 
-CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8)
+CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8,
+                  band_rows=2)  # r=2: 16 bands x 2 rows. r=1 makes
+# every pair of docs sharing one popular shingle a candidate, so
+# sub-cap bucket sizes grow with corpus size and candidate pairs
+# grow ~N^1.75 (measured: 4x docs -> 11.4x candidates, while
+# verified/simhash/substring pairs all stayed 4.0x). r=2 keys
+# buckets on two minima jointly; planted-dup recall on the scale
+# tier is IDENTICAL (0.9924, same caught set - the cascade union
+# covers the tail). This is the banding geometry a 10^12-turn run
+# needs; parity/oracle configs keep the reference r=1.
 # Two N-vs-4N pairs. 3v12 is the PRIMARY pair: a Spark local[c] session
 # with Arrow kernels keeps ~2c threads busy (c JVM task threads + c
 # Python workers), and the measured busy-thread curve of this VM
 # (BENCH/inflation_results.json + BENCH/BASELINE.md) is near-linear only
-# up to ~12-16 busy threads, delivering just ~19.5 core-equivalents at
-# 32. 4v16 (= 8v32 busy threads) therefore measures the hypervisor's
+# up to ~12-16 busy threads, delivering only ~14-20 core-equivalents at
+# 32 busy threads (window-dependent). 4v16 (= 8v32 busy threads) therefore measures the hypervisor's
 # saturation knee, not the engine; it is still recorded as the
 # continuity pair with rounds 1-2.
-CORE_POINTS = (3, 4, 12, 16)
-PAIRS = ((3, 12), (4, 16))
+CORE_POINTS = tuple(int(c) for c in os.environ.get(
+    "LSH_SCALING_CORES", "3,4,12,16").split(","))
+PAIRS = tuple((n, 4 * n) for n in CORE_POINTS if 4 * n in CORE_POINTS)
 EVENT_DIR = "/tmp/lsh-spark-events"
 ARM_DIRS = {"disk": "/tmp/lsh-spark-local", "tmpfs": "/dev/shm/lsh-spark-local"}
 
@@ -78,9 +88,16 @@ def measure_write_bw(path: str, mib: int = 1024) -> float:
 
 
 def parse_event_log(app_dir: str) -> dict:
-    """Sum task I/O metrics from one application's event log."""
+    """Sum task I/O + CPU metrics from one application's event log.
+
+    ``executor_run_time_sec`` is the core accounting quantity: the sum of
+    task run times for identical work at two core counts measures the
+    per-task hardware inflation (hypervisor thread-throughput curve) with
+    zero modelling — wall ratios divide out into (inflation x packing)."""
     tot = {"shuffle_write_bytes": 0, "shuffle_read_bytes": 0,
-           "input_bytes": 0, "disk_spill_bytes": 0, "mem_spill_bytes": 0}
+           "input_bytes": 0, "disk_spill_bytes": 0, "mem_spill_bytes": 0,
+           "executor_run_time_sec": 0.0, "jvm_gc_time_sec": 0.0,
+           "n_tasks": 0}
     files = [fp for fp in
              glob.glob(os.path.join(app_dir, "**", "*"), recursive=True)
              if os.path.isfile(fp)]
@@ -89,7 +106,10 @@ def parse_event_log(app_dir: str) -> dict:
             for line in f:
                 if '"SparkListenerTaskEnd"' not in line:
                     continue
-                ev = json.loads(line)
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:   # torn tail line of a live log
+                    continue
                 m = ev.get("Task Metrics") or {}
                 sw = m.get("Shuffle Write Metrics") or {}
                 sr = m.get("Shuffle Read Metrics") or {}
@@ -100,6 +120,11 @@ def parse_event_log(app_dir: str) -> dict:
                 tot["input_bytes"] += im.get("Bytes Read", 0)
                 tot["disk_spill_bytes"] += m.get("Disk Bytes Spilled", 0)
                 tot["mem_spill_bytes"] += m.get("Memory Bytes Spilled", 0)
+                tot["executor_run_time_sec"] += m.get("Executor Run Time", 0) / 1000
+                tot["jvm_gc_time_sec"] += m.get("JVM GC Time", 0) / 1000
+                tot["n_tasks"] += 1
+    tot["executor_run_time_sec"] = round(tot["executor_run_time_sec"], 1)
+    tot["jvm_gc_time_sec"] = round(tot["jvm_gc_time_sec"], 1)
     return tot
 
 
@@ -116,8 +141,18 @@ def run_once(cores: int, path: str, local_dir: str | None = None,
         conf["spark.eventLog.dir"] = f"file://{EVENT_DIR}"
         conf["spark.eventLog.compress"] = "false"
         conf["spark.eventLog.rolling.enabled"] = "false"
+    else:
+        # must be explicit: SparkSession.builder conf set by an EARLIER
+        # run in this process survives getOrCreate() across spark.stop(),
+        # so a bare conf would silently keep event logging on for every
+        # subsequent rep (observed: rep1 wrote an .inprogress log)
+        conf["spark.eventLog.enabled"] = "false"
+    # fixed shuffle width at BOTH cluster sizes (like a production job
+    # config): otherwise the session default (3x cores) gives N and 4N
+    # different physical plans, and the comparison measures partitioning
+    # policy, not scaling. 48 = 4 waves at 12 cores, 16 at 3.
     spark = get_spark(f"scaling_{cores}_{time.monotonic_ns() % 9973}",
-                      cores=cores,
+                      cores=cores, shuffle_partitions=48,
                       extra_conf=conf)
     try:
         tr = spark.read.parquet(path)

@@ -36,7 +36,16 @@ from lsh_spark.config import DedupConfig  # noqa: E402
 from lsh_spark.plans.pipeline import dedup_pipeline  # noqa: E402
 from lsh_spark.session import get_spark  # noqa: E402
 
-CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8)
+CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8,
+                  band_rows=2)  # r=2: 16 bands x 2 rows. r=1 makes
+# every pair of docs sharing one popular shingle a candidate, so
+# sub-cap bucket sizes grow with corpus size and candidate pairs
+# grow ~N^1.75 (measured: 4x docs -> 11.4x candidates, while
+# verified/simhash/substring pairs all stayed 4.0x). r=2 keys
+# buckets on two minima jointly; planted-dup recall on the scale
+# tier is IDENTICAL (0.9924, same caught set - the cascade union
+# covers the tail). This is the banding geometry a 10^12-turn run
+# needs; parity/oracle configs keep the reference r=1.
 EVENT_DIR = "/tmp/lsh-spark-events-stage"
 
 

@@ -7,9 +7,10 @@ Prints ONE JSON line:
    "scaling": {"cores_n": 8, "cores_4n": 32, "sec_n": ..., "sec_4n": ...,
                "speedup": ..., "efficiency": ...}}
 
-Scaling evidence per BASELINE.md: the same dedup job at local[8] vs
-local[32] on the same input (sandbox stand-in for N vs 4N executors);
-efficiency = (t_N / t_4N) / 4.
+Scaling evidence per BASELINE.md: the same dedup job at local[N] vs
+local[4N] on the same input (sandbox stand-in for N vs 4N executors);
+efficiency = (t_N / t_4N) / 4. Default pair 3v12 — chosen below the
+VM's measured busy-thread saturation knee (see BENCH/BASELINE.md).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), LSH_BENCH_SKIP_SCALING=1 to skip the
@@ -38,7 +39,16 @@ from lsh_spark.sources.tables import load_table, load_transcripts  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8)  # scale config
+CFG = DedupConfig(hash_mode="fast", substring_sample_mod=8,
+                  band_rows=2)  # r=2: 16 bands x 2 rows. r=1 makes
+# every pair of docs sharing one popular shingle a candidate, so
+# sub-cap bucket sizes grow with corpus size and candidate pairs
+# grow ~N^1.75 (measured: 4x docs -> 11.4x candidates, while
+# verified/simhash/substring pairs all stayed 4.0x). r=2 keys
+# buckets on two minima jointly; planted-dup recall on the scale
+# tier is IDENTICAL (0.9924, same caught set - the cascade union
+# covers the tail). This is the banding geometry a 10^12-turn run
+# needs; parity/oracle configs keep the reference r=1.  # scale config
 
 
 def _timed(fn) -> float:
@@ -105,12 +115,14 @@ def run_queries(spark) -> tuple[dict, int]:
 
 
 def run_pipeline_once(cores: int, transcripts_path: str | None = None,
-                      local_dir: str | None = None) -> float:
+                      local_dir: str | None = None,
+                      shuffle_partitions: int | None = None) -> float:
     extra = {}
     if local_dir:
         os.makedirs(local_dir, exist_ok=True)
         extra["spark.local.dir"] = local_dir
     spark = get_spark(f"bench_pipeline_{cores}", cores=cores,
+                      shuffle_partitions=shuffle_partitions,
                       extra_conf=extra)
     try:
         if transcripts_path:
@@ -188,8 +200,12 @@ def main():
         for r in range(reps):
             order = (cores_4n, cores_n) if r % 2 == 0 else (cores_n, cores_4n)
             for cores in order:
+                # fixed 48-partition shuffle width at both cluster sizes
+                # (a production job pins this; letting it track cores would
+                # hand N and 4N different physical plans)
                 raw[cores].append(
-                    run_pipeline_once(cores, scale_path, local_dir))
+                    run_pipeline_once(cores, scale_path, local_dir,
+                                      shuffle_partitions=48))
         sc_n, sc_4n = min(raw[cores_n]), min(raw[cores_4n])
         speedup = round(sc_n / sc_4n, 3)
         import pyarrow.parquet as pq
@@ -204,12 +220,33 @@ def main():
             "reps": reps, "raw_sec": raw,
             "local_dir": local_dir,
             "note": ("interleaved reps, min-aggregated; shuffle on tmpfs "
-                     "(single-disk A/B in BENCH/scaling_results.json); "
+                     "(single-disk A/B in BENCH/scaling_ab_disk_tmpfs.json); "
                      "pair chosen below the VM's busy-thread saturation "
                      "knee — local[c] keeps ~2c threads busy and the host "
-                     "delivers ~19.5 core-equivalents at 32 threads "
+                     "delivers only ~14-20 core-equivalents at 32 threads "
                      "(BENCH/inflation_results.json, BENCH/BASELINE.md)"),
         }
+        # the committed gate-evidence run (BENCH/scaling.py at the xxl
+        # tier, 16.4M turns — big enough that the ~20 s fixed serial term
+        # is <3% of the 4N wall). Re-running it here would add ~25 min to
+        # every bench invocation, so attach the recorded result, clearly
+        # labeled as such.
+        gate_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH", "scaling_results.json")
+        try:
+            with open(gate_path) as f:
+                gate = json.load(f)
+            arm = gate["arms"].get("tmpfs") or next(iter(gate["arms"].values()))
+            result["scaling_gate_recorded"] = {
+                "source": "BENCH/scaling_results.json (committed run, "
+                          "not re-measured in this invocation)",
+                "tier": gate["tier"], "turns": gate["turns"],
+                "reps": gate["reps"],
+                "pairs": arm.get("pairs"),
+                "efficiency": arm.get("efficiency"),
+            }
+        except (OSError, KeyError, StopIteration, ValueError):
+            pass
 
     print(json.dumps(result))
 

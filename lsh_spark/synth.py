@@ -39,6 +39,9 @@ TIERS = {
     "bench": 50000,   # throughput (sf0.1)
     "scale": 150000,  # N-vs-4N scaling evidence (compute-dominated)
     "xl": 450000,     # one-off scaling evidence run (~4.1M turns)
+    "xxl": 1800000,   # scaling-gate tier (~16.4M turns): 4x xl so the
+                      # fixed per-run terms (~5-7 s scheduler+planning)
+                      # fall under 3% of the 4N-arm wall
 }
 SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 

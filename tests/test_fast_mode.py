@@ -52,8 +52,17 @@ def test_fast_shingle_consistency_builtin_vs_arrow(spark):
             == len(arrow["a"] & arrow["b"]))
 
 
-def test_fast_pipeline_recall(spark, t1_transcripts, t1_labels):
-    cfg = DedupConfig(hash_mode="fast", substring_sample_mod=8)
+import pytest
+
+
+@pytest.mark.parametrize("band_rows", [1, 2])
+def test_fast_pipeline_recall(spark, t1_transcripts, t1_labels, band_rows):
+    """Recall must hold for BOTH band geometries: r=1 (reference parity
+    config) and r=2 (the scale config — r=1 candidate pairs grow ~N^1.75
+    with corpus size because any shared popular shingle collides a pair
+    in some band; see BENCH/pair_growth.py)."""
+    cfg = DedupConfig(hash_mode="fast", substring_sample_mod=8,
+                      band_rows=band_rows)
     lab = {r["doc_id"]: r["cluster_id"]
            for r in dedup_pipeline(spark, t1_transcripts, cfg).collect()}
     golden = t1_labels.collect()
