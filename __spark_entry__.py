@@ -539,6 +539,47 @@ def q_linear_scaling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("seq_a"), F.col("seq_b")).alias("ls_dist")))
 
 
+def q_bals_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 BALS: boundary-alignment linear scaling — min LS distance over
+    the candidate and its four +/-15 shift variants, zero-filled and
+    edge-replicated (reference matching_algorithms.py:179-235,
+    constants.py:116). Full-recursion twin: operators/align.py."""
+    from lsh_spark.functions.text import tokens_col
+    from lsh_spark.functions.vectors import bals_distance
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    seqs = docs.select(
+        "doc_id",
+        F.transform(tokens_col(F.col("text")),
+                    lambda t: F.length(t).cast("long")).alias("seq"))
+    a = seqs.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
+    b = seqs.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
+    return (a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    bals_distance(F.col("seq_a"), F.col("seq_b"))
+                    .alias("bals_dist")))
+
+
+def q_ktra_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 KTRA: key-transposition alignment — mean-subtract both
+    sequences, halving key-search (k = 1, 0.5, 0.25) over the
+    linear-scaling distance, greedy direction choice with minus checked
+    first, deepest level's minimum returned (reference
+    matching_algorithms.py:288-316 in the MAX_RA_DEPTH=0 configuration;
+    the full-recursion variant is operators/align.py:ktra, pinned by
+    tests/test_round3_ops.py)."""
+    from lsh_spark.functions.text import tokens_col
+    from lsh_spark.functions.vectors import ktra_ls_pairs
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    seqs = docs.select(
+        "doc_id",
+        F.transform(tokens_col(F.col("text")),
+                    lambda t: F.length(t).cast("long")).alias("seq"))
+    a = seqs.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
+    b = seqs.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    return ktra_ls_pairs(pairs).select("doc_a", "doc_b", "ktra_dist")
+
+
 def q_tfidf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: the reference's min-tfidf token filter."""
     docs = _docs_from_documents(spark, sf_dir)
@@ -740,6 +781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lcs_token_runs": q_lcs_token_runs,
         "manhattan_pairs": q_manhattan_pairs,
         "linear_scaling_pairs": q_linear_scaling_pairs,
+        "bals_pairs": q_bals_pairs,
+        "ktra_pairs": q_ktra_pairs,
         "tfidf_filtered": q_tfidf_filtered,
         "tfidf_filter_stats": q_tfidf_filter_stats,
         "confidence_threshold": q_confidence_threshold,
@@ -1418,6 +1461,82 @@ WITH {seq_cte},
 r AS (SELECT doc_id, seq, {r_cols} FROM s)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {ls} AS ls_dist
 FROM r a JOIN r b ON a.doc_id < b.doc_id
+"""
+
+    # A7 BALS — integer sequences, exact. Shift semantics = scipy
+    # ndimage.shift at integer offsets: out[i] = in[i-s], out-of-range
+    # filled with 0 (constant) or the edge value (nearest).
+    def shifted(c: str, s: int, nearest: bool) -> str:
+        if s > 0:
+            fill = f"({c})[1]" if nearest else "CAST(0 AS BIGINT)"
+            return (f"list_transform(range(1, len({c}) + 1), "
+                    f"i -> CASE WHEN i <= {s} THEN {fill} "
+                    f"ELSE ({c})[i - {s}] END)")
+        fill = f"({c})[len({c})]" if nearest else "CAST(0 AS BIGINT)"
+        return (f"list_transform(range(1, len({c}) + 1), "
+                f"i -> CASE WHEN i + {-s} <= len({c}) THEN ({c})[i + {-s}] "
+                f"ELSE {fill} END)")
+
+    S = 15  # BALS_SHIFT_SIZE, reference constants.py:116
+    v_cols = ", ".join(
+        f"{expr} AS v{j}" for j, expr in enumerate([
+            "seq",
+            shifted("seq", S, False), shifted("seq", -S, False),
+            shifted("seq", S, True), shifted("seq", -S, True)]))
+    bals = "least(" + ", ".join(
+        man(f"a.r{i}", f"b.v{j}")
+        for i in range(len(SCALING_FACTORS)) for j in range(5)) + ")"
+    sql["bals_pairs"] = f"""
+WITH {seq_cte},
+r AS (SELECT doc_id, seq, {r_cols} FROM s),
+v AS (SELECT doc_id, {v_cols} FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {bals} AS bals_dist
+FROM r a JOIN v b ON a.doc_id < b.doc_id
+"""
+
+    # A9 KTRA (MAX_RA_DEPTH=0 configuration) — double-valued after
+    # mean-subtraction; both engines fold sums left-to-right over the
+    # same element order, and the result is rounded to 6 decimals.
+    def man_d(q: str, c: str) -> str:
+        return (f"COALESCE(list_sum(list_transform(range(1, len({c}) + 1), "
+                f"i -> abs(({c})[i] - COALESCE(({q})[i], 0.0)))), 0.0)")
+
+    def ls_d(q: str, c: str) -> str:
+        return "least(" + ", ".join(
+            man_d(rescale(q, n, d), c) for n, d in SCALING_FACTORS) + ")"
+
+    def addk(q: str, k: float) -> str:
+        return f"list_transform({q}, x -> x + {k!r})" if k >= 0             else f"list_transform({q}, x -> x - {-k!r})"
+
+    ktra_levels = []
+    k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
+    for lvl in range(3):  # MAX_KTRA_DEPTH=2 → levels at depth 0, 1, 2
+        prev = "k0" if lvl == 0 else f"g{lvl - 1}"
+        ktra_levels.append(
+            f"l{lvl} AS (SELECT doc_a, doc_b, c, q, "
+            f"{addk('q', -k)} AS qm, {addk('q', k)} AS qp, "
+            f"{ls_d(addk('q', -k), 'c')} AS dm, {ls_d('q', 'c')} AS dz, "
+            f"{ls_d(addk('q', k), 'c')} AS dp FROM {prev})")
+        if lvl < 2:
+            # reference :303-306 — minus direction checked FIRST on ties
+            ktra_levels.append(
+                f"g{lvl} AS (SELECT doc_a, doc_b, c, "
+                f"CASE WHEN dm = least(dm, dz, dp) THEN qm "
+                f"WHEN dp = least(dm, dz, dp) THEN qp ELSE q END AS q "
+                f"FROM l{lvl})")
+        k /= 2
+    sql["ktra_pairs"] = f"""
+WITH s AS (SELECT doc_id, list_transform({sql_tokens('text')},
+           t -> CAST(length(t) AS BIGINT)) AS seq
+           FROM documents WHERE doc_id < 20),
+m AS (SELECT doc_id, CASE WHEN len(seq) > 0 THEN
+        list_transform(seq, x -> CAST(x AS DOUBLE)
+                       - CAST(list_sum(seq) AS DOUBLE) / len(seq))
+      ELSE CAST([] AS DOUBLE[]) END AS q0 FROM s),
+k0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.q0 AS q, b.q0 AS c
+       FROM m a JOIN m b ON a.doc_id < b.doc_id),
+{','.join(ktra_levels)}
+SELECT doc_a, doc_b, round(least(dm, dz, dp), 6) AS ktra_dist FROM l2
 """
 
     tfidf_ctes = f"""{_sql_doc_documents()},

@@ -78,3 +78,154 @@ def linear_scaling_distance(q: Column, c: Column) -> Column:
     branch at ``:173-176``; we implement the plain minimum.)"""
     dists = [manhattan_padded(rescale_seq(q, n, d), c) for n, d in SCALING_FACTORS]
     return F.least(*dists)
+
+
+# --- A7 BALS: boundary-alignment linear scaling --------------------------
+
+# reference constants.py:116 — shift window for neighbourhood generation
+BALS_SHIFT_SIZE = 15
+
+
+def shift_seq(c: Column, s: int, mode: str = "constant") -> Column:
+    """``scipy.ndimage.shift`` semantics for an INTEGER shift of a 1-D
+    sequence (reference ``matching_algorithms.py:187-195``):
+    out[i] = in[i - s]; positions falling outside the input are filled
+    with 0 (mode='constant', scipy's default cval) or the edge value
+    (mode='nearest'). At integer offsets scipy's spline interpolation is
+    exact, so this is the whole behavior."""
+    if s == 0:
+        return c
+    n = F.size(c)
+    if s > 0:
+        fill = F.slice(c, 1, 1) if mode == "nearest" \
+            else F.array(F.lit(0).cast("long"))
+        pad = F.flatten(F.array_repeat(fill, s))
+        body = F.slice(c, 1, F.greatest(n - s, F.lit(0)))
+    else:
+        fill = F.slice(c, -1, 1) if mode == "nearest" \
+            else F.array(F.lit(0).cast("long"))
+        pad = F.flatten(F.array_repeat(fill, -s))
+        body = F.when(n + s > 0, F.slice(c, 1 - s, n + s)) \
+                .otherwise(F.array().cast("array<long>"))
+    out = F.concat(body, pad) if s < 0 else F.concat(pad, body)
+    # scipy returns an array of the same length; shifting a shorter array
+    # keeps only |s| fill elements up to the original length
+    return F.when(n > 0, F.slice(out, 1, n)).otherwise(c)
+
+
+def bals_distance(q: Column, c: Column) -> Column:
+    """A7: the reference's BALS matcher (``matching_algorithms.py:179-235``):
+    the candidate's neighbourhood is {itself, shift +/-15 zero-filled,
+    shift +/-15 edge-replicated}; score = min linear-scaling distance of
+    the query against the five variants. (The reference's TODO'd
+    shorten/lengthen variants are not generated there either.)"""
+    variants = [
+        c,
+        shift_seq(c, BALS_SHIFT_SIZE),
+        shift_seq(c, -BALS_SHIFT_SIZE),
+        shift_seq(c, BALS_SHIFT_SIZE, mode="nearest"),
+        shift_seq(c, -BALS_SHIFT_SIZE, mode="nearest"),
+    ]
+    return F.least(*[linear_scaling_distance(q, v) for v in variants])
+
+
+# --- A9 KTRA: key-transposition recursive alignment ----------------------
+
+# reference constants.py:119-123
+MAX_KTRA_DEPTH = 2
+INITIAL_KTRA_K = 1.0
+
+
+def mean_subtract(q: Column) -> Column:
+    """``_mean_substract`` (reference ``matching_algorithms.py:29-31``):
+    subtract the sequence mean — the transposition-invariance
+    normalization. Double-precision here (the reference uses float32;
+    tests pin equality within float32 tolerance)."""
+    total = F.aggregate(q, F.lit(0.0),
+                        lambda acc, v: acc + v.cast("double"))
+    mean = total / F.size(q)
+    return F.when(F.size(q) > 0,
+                  F.transform(q, lambda v: v.cast("double") - mean)) \
+            .otherwise(F.array().cast("array<double>"))
+
+
+def _manhattan_padded_d(q: Column, c: Column) -> Column:
+    """A5 Manhattan with size-equalization, double-valued inputs."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(c), F.lit(1)))
+    terms = F.when(F.size(c) > 0, F.transform(
+        idx,
+        lambda i: F.abs(F.element_at(c, i)
+                        - F.coalesce(F.try_element_at(q, i), F.lit(0.0)))
+    )).otherwise(F.array().cast("array<double>"))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _rescale_seq_d(q: Column, num: int, den: int) -> Column:
+    if num == den:
+        return q
+    n_chunks = F.ceil(F.size(q) / F.lit(den)).cast("int")
+
+    def chunk(i):
+        c = F.slice(q, i * den + 1, den)
+        if num > den:
+            c = F.concat(c, F.slice(c, -1, 1))
+        return F.slice(c, 1, num)
+    return F.when(F.size(q) > 0,
+                  F.flatten(F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                                        chunk))) \
+            .otherwise(q)
+
+
+def _ls_distance_d(q: Column, c: Column) -> Column:
+    return F.least(*[_manhattan_padded_d(_rescale_seq_d(q, n, d), c)
+                     for n, d in SCALING_FACTORS])
+
+
+def ktra_ls_pairs(pairs, q_col: str = "seq_a", c_col: str = "seq_b",
+                  k0: float = INITIAL_KTRA_K,
+                  max_depth: int = MAX_KTRA_DEPTH,
+                  out_col: str = "ktra_dist"):
+    """A9: the reference's KTRA matcher (``matching_algorithms.py:288-316``)
+    in the SQL-expressible configuration MAX_RA_DEPTH=0, where
+    ``_recursive_align`` degenerates to the linear-scaling distance
+    (``:240-246``). Both sequences are mean-subtracted once, then a
+    halving key-search: at each level evaluate d(q-k), d(q), d(q+k); move
+    the query toward the winner (minus checked FIRST, exactly like the
+    reference's if/elif at ``:303-306``) and halve k; the deepest level's
+    minimum is returned (``:308-315`` — the recursive result replaces,
+    not mins with, the current level's).
+
+    DataFrame-level on purpose: a single fused Column would nest each
+    level's greedy CASE inside the next level's 15 Manhattan terms —
+    expression size grows ~15^depth and Catalyst OOMs converting the
+    plan (measured at depth 2). A ``localCheckpoint`` after each level
+    turns the level's outputs into leaf columns, so the plan stays
+    linear in depth. The full-recursion variant is
+    ``operators/align.py:ktra`` (pandas-UDF, pytest-pinned).
+
+    Input: DataFrame with array<long> columns ``q_col``/``c_col``.
+    Output: input columns minus the temporaries, plus ``out_col``."""
+    df = (pairs
+          .withColumn("_q", mean_subtract(F.col(q_col)))
+          .withColumn("_c", mean_subtract(F.col(c_col)))
+          .localCheckpoint())
+    k = k0
+    for depth in range(max_depth + 1):
+        qm = F.transform(F.col("_q"), lambda v: v - F.lit(k))
+        qp = F.transform(F.col("_q"), lambda v: v + F.lit(k))
+        df = (df.withColumn("_qm", qm).withColumn("_qp", qp)
+                .withColumn("_dm", _ls_distance_d(F.col("_qm"), F.col("_c")))
+                .withColumn("_dz", _ls_distance_d(F.col("_q"), F.col("_c")))
+                .withColumn("_dp", _ls_distance_d(F.col("_qp"), F.col("_c")))
+                .localCheckpoint())
+        if depth < max_depth:
+            res = F.least(F.col("_dm"), F.col("_dz"), F.col("_dp"))
+            df = df.withColumn(
+                "_q", F.when(F.col("_dm") == res, F.col("_qm"))
+                       .when(F.col("_dp") == res, F.col("_qp"))
+                       .otherwise(F.col("_q")))
+            k = k / 2
+    return (df.withColumn(out_col,
+                          F.round(F.least(F.col("_dm"), F.col("_dz"),
+                                          F.col("_dp")), 6))
+              .drop("_q", "_c", "_qm", "_qp", "_dm", "_dz", "_dp"))

@@ -371,3 +371,138 @@ def test_cc_label_state_resume(spark, tmp_path):
     with open(f"{root}/_manifest.json") as f:
         n_stages_second = len(json.load(f))
     assert n_stages_second == n_stages_first + 1
+
+
+# --- A7 BALS / A9 KTRA alignment matchers --------------------------------
+
+def _np_ls(q, c):
+    """Independent linear-scaling reimplementation for the tests."""
+    import numpy as np
+    best = None
+    for num, den in ((1, 2), (3, 4), (1, 1), (5, 4), (3, 2)):
+        if num == den or len(q) == 0:
+            rq = np.asarray(q)
+        else:
+            parts = []
+            for s in range(0, len(q), den):
+                ch = list(q[s:s + den])
+                if num > den:
+                    ch = ch + ch[-1:]
+                parts.extend(ch[:num])
+            rq = np.asarray(parts)
+        n = len(c)
+        qq = np.zeros(n, dtype=np.asarray(c).dtype if n else float)
+        m = min(len(rq), n)
+        qq[:m] = rq[:m]
+        d = float(np.abs(np.asarray(c) - qq).sum()) if n else 0.0
+        best = d if best is None else min(best, d)
+    return best
+
+
+def test_bals_column_matches_numpy_transcription(spark):
+    """functions.vectors.bals_distance (Column algebra) equals the
+    independently-written NumPy transcription in operators/align.py,
+    including scipy shift edge semantics (n < shift, empty arrays)."""
+    import numpy as np
+    from lsh_spark.functions.vectors import bals_distance
+    from lsh_spark.operators.align import bals
+    rng = np.random.default_rng(7)
+    rows = []
+    for i, n in enumerate([0, 3, 14, 15, 16, 40, 80]):
+        rows.append((f"a{i}", [int(x) for x in rng.integers(1, 12, n)]))
+    df = spark.createDataFrame(rows, "doc_id string, seq array<long>")
+    a = df.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("sa"))
+    b = df.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("sb"))
+    got = {(r["doc_a"], r["doc_b"]): r["d"] for r in
+           a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    bals_distance(F.col("sa"), F.col("sb")).alias("d"))
+            .collect()}
+    seqs = dict(rows)
+    for (da, db), d in got.items():
+        want = bals(np.asarray(seqs[da], np.int64),
+                    np.asarray(seqs[db], np.int64))
+        assert d == want, (da, db, d, want)
+
+
+def test_ktra_column_matches_independent_loop(spark):
+    """functions.vectors.ktra_distance (Column, MAX_RA_DEPTH=0 config)
+    equals an independently-written greedy halving-key loop over the
+    test's own LS implementation."""
+    import numpy as np
+    from lsh_spark.functions.vectors import ktra_ls_pairs
+    rng = np.random.default_rng(11)
+    rows = [(f"d{i}", [int(x) for x in rng.integers(1, 12, n)])
+            for i, n in enumerate([5, 17, 33, 50])]
+    df = spark.createDataFrame(rows, "doc_id string, seq array<long>")
+    a = df.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
+    b = df.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
+    got = {(r["doc_a"], r["doc_b"]): r["ktra_dist"] for r in
+           ktra_ls_pairs(a.join(b, F.col("doc_a") < F.col("doc_b")))
+           .collect()}
+    seqs = {k: np.asarray(v, np.float64) for k, v in rows}
+    for (da, db), d in got.items():
+        q = seqs[da] - seqs[da].mean()
+        c = seqs[db] - seqs[db].mean()
+        k, res = 1.0, None
+        for depth in range(3):
+            dm, dz, dp = _np_ls(q - k, c), _np_ls(q, c), _np_ls(q + k, c)
+            res = min(dm, dz, dp)
+            if depth < 2:
+                if dm == res:
+                    q = q - k
+                elif dp == res:
+                    q = q + k
+                k /= 2
+        assert abs(d - round(res, 6)) < 1e-9, (da, db, d, res)
+
+
+def test_recursive_align_full_depth_iterative_equivalence():
+    """operators/align.py recursive_align (reference recursion,
+    MAX_RA_DEPTH=3, 40/50/60%% splits) equals an explicit-stack
+    iterative reimplementation — pins the recursion shape."""
+    import numpy as np
+    from lsh_spark.operators.align import recursive_align, _ls
+
+    def iterative(q, c):
+        best = float("inf")
+        stack = [(q, c, 0)]
+        while stack:
+            qq, cc, depth = stack.pop()
+            d, rq = _ls(qq, cc)
+            best = min(best, d)
+            if rq is None or rq.size == 0 or cc.size == 0 or depth >= 3:
+                continue
+            half = rq.size // 2 + 1
+            for pct in (40, 50, 60):
+                size = int(cc.size * pct / 100) + 1
+                comp = cc.size + 1 - size
+                stack.append((rq[:half], cc[:size], depth + 1))
+                stack.append((rq[half:], cc[comp:], depth + 1))
+        return best
+
+    rng = np.random.default_rng(3)
+    for na, nb in [(6, 9), (20, 31), (40, 25)]:
+        q = rng.integers(1, 10, na).astype(np.float64)
+        c = rng.integers(1, 10, nb).astype(np.float64)
+        assert recursive_align(q, c) == iterative(q, c)
+
+
+def test_aligned_pair_distances_spark_matches_local(spark):
+    """The mapInArrow pair scorer returns exactly the local full-depth
+    KTRA values."""
+    import numpy as np
+    from lsh_spark.operators.align import aligned_pair_distances, ktra
+    rng = np.random.default_rng(5)
+    seqs = {f"d{i}": [int(x) for x in rng.integers(1, 10, 12 + 7 * i)]
+            for i in range(4)}
+    rows = [("d0", "d1"), ("d1", "d2"), ("d0", "d3")]
+    pairs = spark.createDataFrame(
+        [(a, b, seqs[a], seqs[b]) for a, b in rows],
+        "doc_a string, doc_b string, seq_a array<long>, seq_b array<long>")
+    got = {(r["doc_a"], r["doc_b"]): r["distance"]
+           for r in aligned_pair_distances(pairs, "ktra").collect()}
+    for a, b in rows:
+        want = ktra(np.asarray(seqs[a], np.int64),
+                    np.asarray(seqs[b], np.int64))
+        assert abs(got[(a, b)] - want) < 1e-9
