@@ -1509,14 +1509,16 @@ FROM r a JOIN v b ON a.doc_id < b.doc_id
         return f"list_transform({q}, x -> x + {k!r})" if k >= 0             else f"list_transform({q}, x -> x - {-k!r})"
 
     ktra_levels = []
-    k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
+    # NOTE: local name must not shadow the module-scope shingle k used by
+    # the _sql_hashed(...) oracles generated further down this function
+    ktra_k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
     for lvl in range(3):  # MAX_KTRA_DEPTH=2 → levels at depth 0, 1, 2
         prev = "k0" if lvl == 0 else f"g{lvl - 1}"
         ktra_levels.append(
             f"l{lvl} AS (SELECT doc_a, doc_b, c, q, "
-            f"{addk('q', -k)} AS qm, {addk('q', k)} AS qp, "
-            f"{ls_d(addk('q', -k), 'c')} AS dm, {ls_d('q', 'c')} AS dz, "
-            f"{ls_d(addk('q', k), 'c')} AS dp FROM {prev})")
+            f"{addk('q', -ktra_k)} AS qm, {addk('q', ktra_k)} AS qp, "
+            f"{ls_d(addk('q', -ktra_k), 'c')} AS dm, {ls_d('q', 'c')} AS dz, "
+            f"{ls_d(addk('q', ktra_k), 'c')} AS dp FROM {prev})")
         if lvl < 2:
             # reference :303-306 — minus direction checked FIRST on ties
             ktra_levels.append(
@@ -1524,7 +1526,7 @@ FROM r a JOIN v b ON a.doc_id < b.doc_id
                 f"CASE WHEN dm = least(dm, dz, dp) THEN qm "
                 f"WHEN dp = least(dm, dz, dp) THEN qp ELSE q END AS q "
                 f"FROM l{lvl})")
-        k /= 2
+        ktra_k /= 2
     sql["ktra_pairs"] = f"""
 WITH s AS (SELECT doc_id, list_transform({sql_tokens('text')},
            t -> CAST(length(t) AS BIGINT)) AS seq
