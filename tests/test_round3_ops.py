@@ -426,7 +426,7 @@ def test_bals_column_matches_numpy_transcription(spark):
 
 
 def test_ktra_column_matches_independent_loop(spark):
-    """functions.vectors.ktra_distance (Column, MAX_RA_DEPTH=0 config)
+    """functions.vectors.ktra_ls_pairs (DataFrame, MAX_RA_DEPTH=0 config)
     equals an independently-written greedy halving-key loop over the
     test's own LS implementation."""
     import numpy as np
