@@ -8,12 +8,16 @@ create_index | search | search_all and flags -i/-np/-ma/-top
 or  python -m lsh_spark.cli <cmd> [flags]
 
 Commands:
-  ingest   — synthesize/load transcripts, canonicalize, write docs table
-  index    — shingle + MinHash signatures + band buckets → checkpoint
-  pairs    — candidate pairs + Jaccard verification → checkpoint
-  cluster  — full cascade + connected components → clusters table
-  verify   — dup-pair recall & precision against golden labels
-  bench    — delegate to bench.py
+  ingest       — synthesize/load transcripts, canonicalize, write docs table
+  index        — shingle + MinHash signatures + band buckets → checkpoint
+  ingest-delta — steady-state ingest: dedup a NEW transcript batch
+                 (--delta parquet) against the checkpointed band index
+                 from a prior `index` run, then fold the batch into the
+                 index (hashes committed before bands — crash-safe order)
+  pairs        — candidate pairs + Jaccard verification → checkpoint
+  cluster      — full cascade + connected components → clusters table
+  verify       — dup-pair recall & precision against golden labels
+  bench        — delegate to bench.py
 
 On a real cluster, --transcripts points at the Iceberg/parquet transcripts
 table and --checkpoint-dir at a durable store; each stage resumes from the
@@ -44,8 +48,12 @@ def _build_cfg(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="lsh_spark")
-    p.add_argument("command", choices=["ingest", "index", "pairs", "cluster",
-                                       "verify", "search", "bench"])
+    p.add_argument("command", choices=["ingest", "index", "ingest-delta",
+                                       "pairs", "cluster", "verify",
+                                       "search", "bench"])
+    p.add_argument("--delta", default=None,
+                   help="parquet path of the NEW transcript batch for "
+                        "ingest-delta")
     p.add_argument("--probe", default=None,
                    help="doc_id to search for (reference `search -f`); "
                         "required by the search command")
@@ -61,7 +69,9 @@ def main(argv=None):
     # reference-flag analogs: -np (num permutations), window params, top
     p.add_argument("--num-perms", "-np", type=int, default=32)
     p.add_argument("--shingle-k", type=int, default=5)
-    p.add_argument("--band-rows", type=int, default=1)
+    # r=2 is the scale-safe default (r=1 candidate growth is ~N^1.75,
+    # BENCH/pair_growth.py); pass --band-rows 1 for reference-geometry runs
+    p.add_argument("--band-rows", type=int, default=2)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--hash-mode", choices=["portable", "fast"], default="fast")
     p.add_argument("--granularity", choices=["conv", "turn"], default="conv")
@@ -109,6 +119,39 @@ def main(argv=None):
             sigs = minhash.minhash_signatures(hashes, cfg)
             bands = store.write(lsh_bands.band_buckets(sigs, cfg), "band_buckets")
             print(json.dumps({"stage": "band_buckets", "rows": bands.count()}))
+            return
+
+        if args.command == "ingest-delta":
+            # steady-state ingest (plans/pipeline.py:incremental_dedup):
+            # the corpus is never re-clustered per delta — the new batch
+            # probes the checkpointed band index and is folded back in
+            from lsh_spark.plans.pipeline import incremental_dedup
+            if not args.delta:
+                raise SystemExit(
+                    "ingest-delta requires --delta <transcripts parquet>")
+            for stage in ("band_buckets", "shingle_hashes"):
+                if not store.exists(stage, spark):
+                    raise SystemExit(
+                        f"ingest-delta needs the '{stage}' stage in "
+                        f"{args.checkpoint_dir}; run the `index` command "
+                        f"there first")
+            delta_tr = spark.read.parquet(args.delta)
+            new_docs = (conversation_docs(delta_tr)
+                        if cfg.granularity == "conv"
+                        else turn_docs(delta_tr)).select("doc_id", "text")
+            flags = incremental_dedup(
+                spark, new_docs, store, cfg,
+                bands_stage="band_buckets", hashes_stage="shingle_hashes")
+            by_kind = {r["match_kind"]: r["n"] for r in
+                       flags.groupBy("match_kind")
+                            .agg(F.count("*").alias("n")).collect()}
+            print(json.dumps({
+                "stage": "ingest_delta",
+                "batch_docs": new_docs.count(),
+                "dup_flags": sum(by_kind.values()),
+                "vs_index": by_kind.get("index", 0),
+                "within_batch": by_kind.get("batch", 0),
+                "index_rows": store.read(spark, "band_buckets").count()}))
             return
 
         if args.command == "search":

@@ -22,9 +22,19 @@ class DedupConfig:
     """Knobs for the dedup pipeline.
 
     ``num_perms`` is the analog of the reference's
-    DEFAULT_NUMBER_OF_PERMUTATIONS (reference ``constants.py:1``); banding
-    defaults to r=1 rows/band exactly like the reference's one-bucket-row-per
-    (permutation, selection-fn) inverted index (reference ``lsh.py:252-266``).
+    DEFAULT_NUMBER_OF_PERMUTATIONS (reference ``constants.py:1``).
+
+    Banding defaults to the SCALE-SAFE r=2 rows/band: with r=1 a band key
+    is a single minhash value, so any two documents sharing one popular
+    shingle collide somewhere and the candidate set grows ~N^1.75
+    (measured: 4x docs -> 11.4x candidates, BENCH/pair_growth.py) —
+    fatal at 10^12 turns regardless of cluster size.  r=2 keeps candidate
+    growth linear with identical fixture recall (0.9924 both geometries,
+    tests/test_fast_mode.py).  The reference's own geometry — r=1, one
+    bucket row per (permutation, selection-fn), reference
+    ``lsh.py:252-266`` — is pinned EXPLICITLY where reference parity is
+    the point: operators/parity.py and the DuckDB-oracle configs in
+    __spark_entry__.py.
     """
 
     # shingling (reference windowing: lsh.py:40-65 PLSH, lsh.py:68-121 NLSH)
@@ -33,7 +43,7 @@ class DedupConfig:
 
     # MinHash / banding (reference lsh.py:213-269)
     num_perms: int = 32
-    band_rows: int = 1          # r; number of bands b = num_perms // band_rows
+    band_rows: int = 2          # r; number of bands b = num_perms // band_rows
 
     # verification (reference matching_algorithms.py:55-108 Jaccard)
     jaccard_threshold: float = 0.5
@@ -64,6 +74,12 @@ class DedupConfig:
     # bands before exact verification/ranking (caps the mega-probe case
     # where boilerplate text collides with everything)
     search_min_agreement: int = 1
+
+    # connected-components algorithm: "hashmin" (one hop per iteration —
+    # ideal for near-clique duplicate clusters, 2-4 rounds) or "star"
+    # (alternating large-star/small-star, O(log diameter) rounds — for
+    # graphs with long containment/substring chains)
+    cc_algorithm: str = "hashmin"   # "hashmin" | "star"
 
     # document granularity: whole conversation or single turn
     granularity: str = "conv"   # "conv" | "turn"

@@ -160,40 +160,38 @@ def _manhattan_padded_d(q: Column, c: Column) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def _rescale_seq_d(q: Column, num: int, den: int) -> Column:
-    if num == den:
-        return q
-    n_chunks = F.ceil(F.size(q) / F.lit(den)).cast("int")
-
-    def chunk(i):
-        c = F.slice(q, i * den + 1, den)
-        if num > den:
-            c = F.concat(c, F.slice(c, -1, 1))
-        return F.slice(c, 1, num)
-    return F.when(F.size(q) > 0,
-                  F.flatten(F.transform(F.sequence(F.lit(0), n_chunks - 1),
-                                        chunk))) \
-            .otherwise(q)
+# reference matching_algorithms.py:25 — float_info.max; what a zero node
+# distance becomes inside _recursive_align (include_zero_distance=False,
+# reference :164-176: 'likely a noise')
+MAX_FLOAT = 1.7976931348623157e308
 
 
-def _ls_distance_d(q: Column, c: Column) -> Column:
-    return F.least(*[_manhattan_padded_d(_rescale_seq_d(q, n, d), c)
-                     for n, d in SCALING_FACTORS])
+def _ra0_distance_d(q: Column, c: Column) -> Column:
+    """Depth-0 ``_recursive_align`` on a single query array (the form the
+    dispatcher feeds KTRA, reference ``:343-346``): ONE size-equalized
+    Manhattan distance; zero → MAX_FLOAT (subtree pruning is vacuous at
+    depth 0, but the noise-skip value is still what the search
+    compares)."""
+    d = _manhattan_padded_d(q, c)
+    return F.when(d == 0.0, F.lit(MAX_FLOAT)).otherwise(d)
 
 
-def ktra_ls_pairs(pairs, q_col: str = "seq_a", c_col: str = "seq_b",
-                  k0: float = INITIAL_KTRA_K,
-                  max_depth: int = MAX_KTRA_DEPTH,
-                  out_col: str = "ktra_dist"):
+def ktra_distance_pairs(pairs, q_col: str = "seq_a", c_col: str = "seq_b",
+                        k0: float = INITIAL_KTRA_K,
+                        max_depth: int = MAX_KTRA_DEPTH,
+                        out_col: str = "ktra_dist"):
     """A9: the reference's KTRA matcher (``matching_algorithms.py:288-316``)
     in the SQL-expressible configuration MAX_RA_DEPTH=0, where
-    ``_recursive_align`` degenerates to the linear-scaling distance
-    (``:240-246``). Both sequences are mean-subtracted once, then a
-    halving key-search: at each level evaluate d(q-k), d(q), d(q+k); move
-    the query toward the winner (minus checked FIRST, exactly like the
-    reference's if/elif at ``:303-306``) and halve k; the deepest level's
-    minimum is returned (``:308-315`` — the recursive result replaces,
-    not mins with, the current level's).
+    ``_recursive_align`` degenerates to a SINGLE size-equalized Manhattan
+    distance per direction (``:240-246`` with the dispatcher's use_ls=False
+    single-array query, ``:336-346``; zero distance → MAX_FLOAT per
+    ``:164-176``) — never the 5-way rescaling sweep, which the reference
+    applies only for BALS / use_ls=True.  Both sequences are mean-subtracted
+    once, then a halving key-search: at each level evaluate d(q-k), d(q),
+    d(q+k); move the query toward the winner (minus checked FIRST, exactly
+    like the reference's if/elif at ``:303-306``) and halve k; the deepest
+    level's minimum is returned (``:308-315`` — the recursive result
+    replaces, not mins with, the current level's).
 
     DataFrame-level on purpose: a single fused Column would nest each
     level's greedy CASE inside the next level's 15 Manhattan terms —
@@ -201,7 +199,7 @@ def ktra_ls_pairs(pairs, q_col: str = "seq_a", c_col: str = "seq_b",
     plan (measured at depth 2). A ``localCheckpoint`` after each level
     turns the level's outputs into leaf columns, so the plan stays
     linear in depth. The full-recursion variant is
-    ``operators/align.py:ktra`` (pandas-UDF, pytest-pinned).
+    ``operators/align.py:ktra`` (mapInArrow, pytest-pinned).
 
     Input: DataFrame with array<long> columns ``q_col``/``c_col``.
     Output: input columns minus the temporaries, plus ``out_col``."""
@@ -214,9 +212,9 @@ def ktra_ls_pairs(pairs, q_col: str = "seq_a", c_col: str = "seq_b",
         qm = F.transform(F.col("_q"), lambda v: v - F.lit(k))
         qp = F.transform(F.col("_q"), lambda v: v + F.lit(k))
         df = (df.withColumn("_qm", qm).withColumn("_qp", qp)
-                .withColumn("_dm", _ls_distance_d(F.col("_qm"), F.col("_c")))
-                .withColumn("_dz", _ls_distance_d(F.col("_q"), F.col("_c")))
-                .withColumn("_dp", _ls_distance_d(F.col("_qp"), F.col("_c")))
+                .withColumn("_dm", _ra0_distance_d(F.col("_qm"), F.col("_c")))
+                .withColumn("_dz", _ra0_distance_d(F.col("_q"), F.col("_c")))
+                .withColumn("_dp", _ra0_distance_d(F.col("_qp"), F.col("_c")))
                 .localCheckpoint())
         if depth < max_depth:
             res = F.least(F.col("_dm"), F.col("_dz"), F.col("_dp"))

@@ -52,8 +52,12 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.sequence(F.lit(0), F.lit(b - 1)),
         lambda i: F.xxhash64(F.array_join(F.slice(F.col("sig"), i * r + 1, r), ",")),
     )
+    # stage the bands array in its own Project: exploding a plain column
+    # attribute keeps Generate inside whole-stage codegen, while exploding
+    # the higher-order expression inline does not (verified via .explain)
     return (
-        sigs.select("doc_id", F.posexplode(bands).alias("band_id", "band_hash"))
+        sigs.select("doc_id", bands.alias("_bands"))
+        .select("doc_id", F.posexplode("_bands").alias("band_id", "band_hash"))
         .select(F.col("band_id").cast("int"), "band_hash", "doc_id")
     )
 

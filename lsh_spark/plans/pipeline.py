@@ -164,8 +164,15 @@ def dedup_pipeline(
     edges = edges.distinct()
 
     # with a store, the CC loop also commits per-iteration label state
-    # (cc_iter{n} stages) — a killed run resumes label propagation itself
-    labels = connected_components(edges, store=store)
+    # (cc_iter{n} stages) — a killed run resumes label propagation itself.
+    # cfg.cc_algorithm="star" swaps in the O(log diameter) alternating
+    # star rewrites for graphs with long containment chains
+    if cfg.cc_algorithm == "star":
+        from lsh_spark.operators.connected_components import \
+            connected_components_star
+        labels = connected_components_star(edges, store=store)
+    else:
+        labels = connected_components(edges, store=store)
     if store is not None:
         labels = store.write(labels, "clusters")
     return labels
@@ -245,7 +252,14 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
                       update_index: bool = True) -> DataFrame:
     """Store-aware wrapper: probe the checkpointed index, then fold the new
     batch's bands + shingle hashes back into the store so the next delta
-    sees this one."""
+    sees this one.
+
+    Crash-ordering invariant (ADVICE r3): the HASHES stage is written
+    BEFORE the bands stage.  A crash between the two writes then leaves
+    extra hashes with no matching band rows — harmless, the banded probe
+    never surfaces them — whereas the reverse order would leave band rows
+    whose shingle hashes are missing, and verify_pairs' inner join on
+    hashes would silently drop those candidates on the next delta."""
     cfg = cfg or DedupConfig()
     from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
     index_bands = store.read(spark, bands_stage)
@@ -256,8 +270,8 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
         new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
         new_bands = lsh_bands.band_buckets(
             minhash.minhash_signatures(new_hashes, cfg), cfg)
-        store.write(index_bands.unionByName(new_bands), bands_stage)
         store.write(index_hashes.unionByName(new_hashes), hashes_stage)
+        store.write(index_bands.unionByName(new_bands), bands_stage)
     return flags
 
 

@@ -10,6 +10,8 @@ windowed ingest metrics. Tested with the file source + processAllAvailable
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 TRANSCRIPT_SCHEMA = T.StructType([
@@ -80,13 +82,35 @@ def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
                            + F.element_at(b_arr, p + 1)) % m))))
 
 
+_UNIT_MS = {
+    "us": 0.001, "microsecond": 0.001,
+    "ms": 1, "millisecond": 1,
+    "s": 1000, "sec": 1000, "second": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000,
+    "h": 3_600_000, "hour": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000,
+    "w": 604_800_000, "week": 604_800_000,
+}
+
+
 def _duration_ms(spec: str) -> int:
-    """Parse a Spark duration string ('10 seconds', '1 hour') to millis."""
-    amount, unit = spec.strip().split(None, 1)
-    unit = unit.rstrip("s").lower()
-    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
-             "hour": 3_600_000, "day": 86_400_000}[unit]
-    return int(amount) * scale
+    """Parse a Spark-legal duration string to millis: '10 seconds' as
+    well as compact ('10s', '500ms') and fractional ('1.5 hours') forms.
+    (ADVICE r3: the previous parser accepted only '<int> <unit-word>'
+    and raised at plan-build time on other Spark-legal watermarks.)"""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([a-zA-Z]+)\s*", spec)
+    if m is None:
+        raise ValueError(
+            f"unparseable duration {spec!r}; expected '<number><unit>' or "
+            f"'<number> <unit>' with unit one of {sorted(_UNIT_MS)} "
+            f"(plural accepted)")
+    amount, unit = float(m.group(1)), m.group(2).lower()
+    if unit not in _UNIT_MS and unit.endswith("s") and unit[:-1] in _UNIT_MS:
+        unit = unit[:-1]
+    if unit not in _UNIT_MS:
+        raise ValueError(f"unknown duration unit in {spec!r}; expected one "
+                         f"of {sorted(_UNIT_MS)} (plural accepted)")
+    return int(amount * _UNIT_MS[unit])
 
 
 def streaming_near_dup_flags(stream: DataFrame, cfg=None,

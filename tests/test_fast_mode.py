@@ -73,3 +73,36 @@ def test_fast_pipeline_recall(spark, t1_transcripts, t1_labels, band_rows):
                  if lab.get(g["conv_id_a"]) is not None
                  and lab.get(g["conv_id_a"]) == lab.get(g["conv_id_b"]))
     assert caught == len(eligible)
+
+
+def test_default_banding_is_scale_safe():
+    """VERDICT r3 #1: the library default must be the linear-candidate
+    geometry — a user calling dedup_pipeline(spark, df) with defaults
+    must not inherit the measured ~N^1.75 r=1 candidate growth."""
+    assert DedupConfig().band_rows == 2
+
+
+def test_candidate_growth_is_linear_at_default_geometry(spark):
+    """Two-tier candidate-growth gate (t1: 200 base convs → t2: 2000):
+    with the DEFAULT config the LSH candidate count must grow at most
+    ~1.2x linearly in doc count (the r=1 geometry measured 11.4x
+    candidates for 4x docs at the gate tiers, BENCH/pair_growth.py)."""
+    from lsh_spark import synth
+    from lsh_spark.canonicalize import conversation_docs
+    from lsh_spark.operators import lsh_bands, minhash
+    from lsh_spark.operators.shingle import doc_shingle_hashes
+
+    cfg = DedupConfig(hash_mode="fast")  # band_rows: library default
+    counts = {}
+    for tier in ("t1", "t2"):
+        tr = spark.read.parquet(synth.generate_tier(tier))
+        docs = conversation_docs(tr).select("doc_id", "text")
+        hashes = doc_shingle_hashes(docs, cfg)
+        sigs = minhash.minhash_signatures(hashes, cfg)
+        cand = lsh_bands.candidate_pairs(lsh_bands.band_buckets(sigs, cfg), cfg)
+        counts[tier] = (docs.count(), cand.count())
+    (n1, c1), (n2, c2) = counts["t1"], counts["t2"]
+    doc_ratio, cand_ratio = n2 / n1, c2 / c1
+    assert cand_ratio <= 1.2 * doc_ratio, (
+        f"superlinear candidate growth at default geometry: docs x"
+        f"{doc_ratio:.2f} -> candidates x{cand_ratio:.2f}")

@@ -39,7 +39,11 @@ def test_cascade_subtract_mode(spark):
     tr = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, "
               "tool string, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
-    cfg = DedupConfig(jaccard_threshold=0.5)
+    # reference geometry pinned: C4 subtract semantics need the pair to be
+    # CANDIDATED by minhash (any shared shingle collides some band at r=1)
+    # then rejected by verification; at the r=2 scale default the pair may
+    # never candidate, so there is nothing to subtract
+    cfg = DedupConfig(jaccard_threshold=0.5, band_rows=1)
 
     union_lab = dedup_pipeline(spark, tr, cfg, cascade_mode="union").collect()
     assert len(union_lab) == 2  # substring pass links them

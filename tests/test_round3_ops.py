@@ -35,10 +35,21 @@ def test_streaming_sig_col_null_for_short_docs(spark):
 
 
 def test_streaming_duration_parse():
+    import pytest
     from lsh_spark.streaming.dedup_stream import _duration_ms
     assert _duration_ms("10 seconds") == 10_000
     assert _duration_ms("1 hour") == 3_600_000
     assert _duration_ms("2 minutes") == 120_000
+    # ADVICE r3: compact suffixes and fractional amounts are Spark-legal
+    assert _duration_ms("10s") == 10_000
+    assert _duration_ms("500ms") == 500
+    assert _duration_ms("1.5 hours") == 5_400_000
+    assert _duration_ms(" 3 min ") == 180_000
+    assert _duration_ms("2w") == 1_209_600_000
+    with pytest.raises(ValueError, match="unknown duration unit"):
+        _duration_ms("10 fortnights")
+    with pytest.raises(ValueError, match="unparseable"):
+        _duration_ms("soon")
 
 
 # ---- ADVICE medium: \x1c-\x1f control chars must match the JVM split ----
@@ -375,30 +386,6 @@ def test_cc_label_state_resume(spark, tmp_path):
 
 # --- A7 BALS / A9 KTRA alignment matchers --------------------------------
 
-def _np_ls(q, c):
-    """Independent linear-scaling reimplementation for the tests."""
-    import numpy as np
-    best = None
-    for num, den in ((1, 2), (3, 4), (1, 1), (5, 4), (3, 2)):
-        if num == den or len(q) == 0:
-            rq = np.asarray(q)
-        else:
-            parts = []
-            for s in range(0, len(q), den):
-                ch = list(q[s:s + den])
-                if num > den:
-                    ch = ch + ch[-1:]
-                parts.extend(ch[:num])
-            rq = np.asarray(parts)
-        n = len(c)
-        qq = np.zeros(n, dtype=np.asarray(c).dtype if n else float)
-        m = min(len(rq), n)
-        qq[:m] = rq[:m]
-        d = float(np.abs(np.asarray(c) - qq).sum()) if n else 0.0
-        best = d if best is None else min(best, d)
-    return best
-
-
 def test_bals_column_matches_numpy_transcription(spark):
     """functions.vectors.bals_distance (Column algebra) equals the
     independently-written NumPy transcription in operators/align.py,
@@ -425,12 +412,29 @@ def test_bals_column_matches_numpy_transcription(spark):
         assert d == want, (da, db, d, want)
 
 
-def test_ktra_column_matches_independent_loop(spark):
-    """functions.vectors.ktra_ls_pairs (DataFrame, MAX_RA_DEPTH=0 config)
-    equals an independently-written greedy halving-key loop over the
-    test's own LS implementation."""
+def _np_man0(q, c):
+    """Independent depth-0 _recursive_align for the tests: ONE
+    size-equalized Manhattan distance on the single query array, zero →
+    MAX_FLOAT (reference :164-176, :240-246 fed by the use_ls=False
+    dispatcher)."""
+    import sys
     import numpy as np
-    from lsh_spark.functions.vectors import ktra_ls_pairs
+    n = len(c)
+    if n == 0:
+        return sys.float_info.max
+    qq = np.zeros(n, dtype=np.asarray(c).dtype)
+    m = min(len(q), n)
+    qq[:m] = np.asarray(q)[:m]
+    d = float(np.abs(np.asarray(c) - qq).sum())
+    return d if d > 0.0 else sys.float_info.max
+
+
+def test_ktra_column_matches_independent_loop(spark):
+    """functions.vectors.ktra_distance_pairs (DataFrame, MAX_RA_DEPTH=0
+    config, single-array query) equals an independently-written greedy
+    halving-key loop over the test's own single-Manhattan node."""
+    import numpy as np
+    from lsh_spark.functions.vectors import ktra_distance_pairs
     rng = np.random.default_rng(11)
     rows = [(f"d{i}", [int(x) for x in rng.integers(1, 12, n)])
             for i, n in enumerate([5, 17, 33, 50])]
@@ -438,7 +442,7 @@ def test_ktra_column_matches_independent_loop(spark):
     a = df.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
     b = df.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
     got = {(r["doc_a"], r["doc_b"]): r["ktra_dist"] for r in
-           ktra_ls_pairs(a.join(b, F.col("doc_a") < F.col("doc_b")))
+           ktra_distance_pairs(a.join(b, F.col("doc_a") < F.col("doc_b")))
            .collect()}
     seqs = {k: np.asarray(v, np.float64) for k, v in rows}
     for (da, db), d in got.items():
@@ -446,7 +450,7 @@ def test_ktra_column_matches_independent_loop(spark):
         c = seqs[db] - seqs[db].mean()
         k, res = 1.0, None
         for depth in range(3):
-            dm, dz, dp = _np_ls(q - k, c), _np_ls(q, c), _np_ls(q + k, c)
+            dm, dz, dp = _np_man0(q - k, c), _np_man0(q, c), _np_man0(q + k, c)
             res = min(dm, dz, dp)
             if depth < 2:
                 if dm == res:
@@ -459,33 +463,46 @@ def test_ktra_column_matches_independent_loop(spark):
 
 def test_recursive_align_full_depth_iterative_equivalence():
     """operators/align.py recursive_align (reference recursion,
-    MAX_RA_DEPTH=3, 40/50/60%% splits) equals an explicit-stack
+    MAX_RA_DEPTH=3, 40/50/60%% splits, single-array nodes with the
+    zero-distance → MAX_FLOAT pruning branch) equals an explicit-stack
     iterative reimplementation — pins the recursion shape."""
+    import sys
     import numpy as np
-    from lsh_spark.operators.align import recursive_align, _ls
+    from lsh_spark.operators.align import recursive_align
 
     def iterative(q, c):
-        best = float("inf")
+        # min over live positive-distance nodes; a zero node distance
+        # means MAX_FLOAT + subtree pruned; the top node's zero is the
+        # whole answer
+        best = sys.float_info.max
         stack = [(q, c, 0)]
         while stack:
             qq, cc, depth = stack.pop()
-            d, rq = _ls(qq, cc)
-            best = min(best, d)
-            if rq is None or rq.size == 0 or cc.size == 0 or depth >= 3:
+            d = _np_man0(qq, cc)
+            if d == sys.float_info.max:     # zero distance → pruned
+                if depth == 0:
+                    return sys.float_info.max
                 continue
-            half = rq.size // 2 + 1
+            best = min(best, d)
+            if len(qq) == 0 or cc.size == 0 or depth >= 3:
+                continue
+            half = len(qq) // 2 + 1
             for pct in (40, 50, 60):
-                size = int(cc.size * pct / 100) + 1
+                size = int(cc.size / 100 * pct + 1)   # utils.percent order
                 comp = cc.size + 1 - size
-                stack.append((rq[:half], cc[:size], depth + 1))
-                stack.append((rq[half:], cc[comp:], depth + 1))
+                stack.append((qq[:half], cc[:size], depth + 1))
+                stack.append((qq[half:], cc[comp:], depth + 1))
         return best
 
     rng = np.random.default_rng(3)
-    for na, nb in [(6, 9), (20, 31), (40, 25)]:
+    cases = [(6, 9), (20, 31), (40, 25), (3, 80), (1, 2)]
+    for na, nb in cases:
         q = rng.integers(1, 10, na).astype(np.float64)
         c = rng.integers(1, 10, nb).astype(np.float64)
         assert recursive_align(q, c) == iterative(q, c)
+    # identical sequences: zero top distance is 'noise' → MAX_FLOAT
+    same = rng.integers(1, 10, 12).astype(np.float64)
+    assert recursive_align(same, same.copy()) == sys.float_info.max
 
 
 def test_aligned_pair_distances_spark_matches_local(spark):
