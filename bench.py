@@ -114,6 +114,87 @@ def run_queries(spark) -> tuple[dict, int]:
     return timings, n_turns, extras
 
 
+def run_turn_passes(spark) -> dict:
+    """Per-pass walls at granularity='turn' — the 10x-row-count document
+    shape (every turn its own doc). Compared against the conv-granularity
+    lines, no pass may go superlinear on the finer shape: row count rises
+    ~10x while per-doc text shrinks ~10x, so pass walls should move far
+    less than 10x."""
+    tr = load_transcripts(spark, SF_DIR).localCheckpoint()
+    docs = turn_docs(tr).select("doc_id", "text").localCheckpoint()
+    out: dict = {"turn_docs": docs.count()}
+    h_ref: dict = {}
+
+    def q_sh():
+        h = doc_shingle_hashes_arrow(docs, CFG).localCheckpoint()
+        h.count()
+        h_ref["h"] = h
+    out["shingle_hashes"] = _timed(q_sh)
+    hashes = h_ref["h"]
+    s_ref: dict = {}
+
+    def q_mh():
+        s = minhash.minhash_signatures(hashes, CFG).localCheckpoint()
+        s.count()
+        s_ref["s"] = s
+    out["minhash_signatures"] = _timed(q_mh)
+
+    def q_pairs():
+        bands = lsh_bands.band_buckets(s_ref["s"], CFG)
+        cand = lsh_bands.candidate_pairs(bands, CFG)
+        pairs.verify_pairs(cand, hashes, CFG).count()
+    out["lsh_candidates_verify"] = _timed(q_pairs)
+    out["simhash_pass"] = _timed(
+        lambda: simhash.simhash_candidate_pairs(
+            simhash.simhash_docs_arrow(docs, CFG), CFG).count())
+    out["substring_pass"] = _timed(
+        lambda: suffix.substring_candidate_pairs(
+            docs, CFG, sample_mod=CFG.substring_sample_mod).count())
+    return out
+
+
+def run_incremental(spark) -> dict:
+    """Steady-state ingest wall: dedup a 1-in-10 delta batch against the
+    checkpointed band index built from the other 9/10 (the operation a
+    10^12-turn deployment runs per arriving batch), for comparison with
+    the full re-cluster wall (result['value']). Index build is timed
+    separately — it is amortized across all future deltas."""
+    import shutil
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    from lsh_spark.plans.pipeline import incremental_dedup
+
+    tr = load_transcripts(spark, SF_DIR)
+    docs = conversation_docs(tr).select("doc_id", "text")
+    is_new = F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0
+    corpus = docs.filter(~is_new).localCheckpoint()
+    batch = docs.filter(is_new).localCheckpoint()
+    root = "/tmp/lsh-bench-incremental"
+    shutil.rmtree(root, ignore_errors=True)
+    store = CheckpointStore(root)
+
+    def build_index():
+        hashes = doc_shingle_hashes_arrow(corpus, CFG)
+        store.write(hashes, "shingle_hashes")
+        sigs = minhash.minhash_signatures(store.read(spark, "shingle_hashes"),
+                                          CFG)
+        store.write(lsh_bands.band_buckets(sigs, CFG), "band_buckets")
+    index_sec = _timed(build_index)
+
+    flags_ref: dict = {}
+
+    def ingest():
+        flags_ref["n"] = incremental_dedup(
+            spark, batch, store, CFG,
+            bands_stage="band_buckets",
+            hashes_stage="shingle_hashes").count()
+    delta_sec = _timed(ingest)
+    out = {"corpus_docs": corpus.count(), "delta_docs": batch.count(),
+           "index_build_sec": index_sec, "delta_ingest_sec": delta_sec,
+           "dup_flags": flags_ref["n"]}
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_pipeline_once(cores: int, transcripts_path: str | None = None,
                       local_dir: str | None = None,
                       shuffle_partitions: int | None = None) -> float:
@@ -147,6 +228,22 @@ def main():
     finally:
         spark.stop()
 
+    turn_timings = None
+    if os.environ.get("LSH_BENCH_SKIP_TURN") != "1":
+        spark = get_spark("bench_turn_queries", cores=CORES)
+        try:
+            turn_timings = run_turn_passes(spark)
+        finally:
+            spark.stop()
+
+    incr = None
+    if os.environ.get("LSH_BENCH_SKIP_INCR") != "1":
+        spark = get_spark("bench_incremental", cores=CORES)
+        try:
+            incr = run_incremental(spark)
+        finally:
+            spark.stop()
+
     result = {
         "metric": "dedup_pipeline_wall_sec",
         "unit": "sec",
@@ -155,6 +252,10 @@ def main():
         "queries": timings,
         **extras,
     }
+    if turn_timings is not None:
+        result["queries_turn_granularity"] = turn_timings
+    if incr is not None:
+        result["incremental"] = incr
 
     # host CPU-steal makes single runs vary ±2-3×; min over a couple of
     # reps is the standard least-stolen estimator (raw reps recorded)

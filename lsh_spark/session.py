@@ -24,12 +24,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to $SPARK_GRAFT_CPUS or 32 (the sandbox stand-in for a
     multi-executor cluster; scaling is evidenced by running the same job at
     local[N] and local[4N], per BASELINE.md).
+
+    ``master`` overrides the local[cores] master — e.g.
+    ``spark://host:7077`` for a standalone cluster
+    (BENCH/scaling_standalone.py, jobs/cluster_job.py); executor sizing
+    then comes from ``extra_conf`` (spark.executor.cores /
+    spark.cores.max), and ``cores`` only feeds the shuffle-width default.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -43,7 +50,7 @@ def get_spark(
         shuffle_partitions = max(cores * 3, 24)
 
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master or f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # default.parallelism feeds TWO sizing decisions that must track
