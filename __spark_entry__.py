@@ -568,17 +568,21 @@ def q_bals_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ktra_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 KTRA: key-transposition alignment — mean-subtract both
-    sequences, halving key-search (k = 1, 0.5, 0.25) where each
-    direction is a SINGLE size-equalized Manhattan distance (zero →
-    MAX_FLOAT), greedy direction choice with minus checked first,
-    deepest level's minimum returned (reference
-    matching_algorithms.py:288-316 in the MAX_RA_DEPTH=0 configuration
-    fed by the dispatcher's use_ls=False single-array query, :336-346;
-    the full-recursion variant is operators/align.py:ktra, pinned by
-    tests/test_round3_ops.py)."""
+    """A9 KTRA at the reference's TRUE configuration: mean-subtract both
+    sequences, halving key-search (k = 1, 0.5, 0.25) where EACH direction
+    is a FULL-depth single-array recursive alignment (MAX_RA_DEPTH=3,
+    zero node distance → MAX_FLOAT + pruning), greedy direction choice
+    with minus checked first, deepest level's minimum returned (reference
+    matching_algorithms.py:288-316 fed by the dispatcher's use_ls=False
+    single-array query, :336-346).  Spark side: relational level
+    expansion of the RA tree (operators/align_relational.py) — every sum
+    folds left-to-right, so dm/dz/dp and the greedy tie decisions are
+    bitwise equal to the DuckDB oracle.  The one-row-per-pair Arrow
+    kernel (operators/align.py:ktra) is the compact scale twin, and the
+    SQL-reduced MAX_RA_DEPTH=0 form (functions/vectors.py:
+    ktra_distance_pairs) stays pytest-pinned."""
     from lsh_spark.functions.text import tokens_col
-    from lsh_spark.functions.vectors import ktra_distance_pairs
+    from lsh_spark.operators.align_relational import ktra_full_pairs
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     seqs = docs.select(
         "doc_id",
@@ -587,7 +591,7 @@ def q_ktra_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = seqs.select(F.col("doc_id").alias("doc_a"), F.col("seq").alias("seq_a"))
     b = seqs.select(F.col("doc_id").alias("doc_b"), F.col("seq").alias("seq_b"))
     pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    return ktra_distance_pairs(pairs).select("doc_a", "doc_b", "ktra_dist")
+    return ktra_full_pairs(pairs).select("doc_a", "doc_b", "ktra_dist")
 
 
 def q_ra_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,33 +1536,73 @@ FROM r a JOIN v b ON a.doc_id < b.doc_id
         return (f"COALESCE(list_sum(list_transform(range(1, len({c}) + 1), "
                 f"i -> abs(({c})[i] - COALESCE(({q})[i], 0.0)))), 0.0)")
 
-    def ra0_d(q: str, c: str) -> str:
-        # depth-0 _recursive_align: ONE Manhattan; zero → MAX_FLOAT
-        # (include_zero_distance=False noise branch, reference :164-176)
-        m = man_d(q, c)
-        return f"CASE WHEN {m} = 0.0 THEN {MAXF} ELSE {m} END"
+    # KTRA at the reference's TRUE configuration: halving key-search over
+    # FULL-depth recursive alignment (MAX_RA_DEPTH=3).  Each direction's
+    # RA is the same level-unrolled recursion tree as ra_pairs, here over
+    # DOUBLE sequences; every Manhattan folds left-to-right in both
+    # engines, so dm/dz/dp -- and therefore the greedy tie decisions --
+    # are bitwise equal between Spark and DuckDB.
+    def ra_chain(p: str, src: str) -> list[str]:
+        """CTE chain: full-depth RA over CTE ``src`` rows
+        (doc_a, doc_b, q DOUBLE[], c DOUBLE[]) -> result CTE ``{p}r``
+        with (doc_a, doc_b, d)."""
+        szx = "CAST(trunc(len(c)/100.0*pct + 1) AS BIGINT)"
+        ctes = [f"{p}n0 AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
+                f"{man_d('q', 'c')} AS d FROM {src})"]
+        for lvl in range(3):
+            ctes.append(
+                f"{p}n{lvl + 1} AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
+                f"{man_d('q', 'c')} AS d FROM (SELECT doc_a, doc_b, "
+                f"CASE WHEN side = 'L' THEN (q)[1 : len(q)//2 + 1] "
+                f"ELSE (q)[len(q)//2 + 2 : len(q)] END AS q, "
+                f"CASE WHEN side = 'L' THEN (c)[1 : {szx}] "
+                f"ELSE (c)[len(c) + 2 - {szx} : len(c)] END AS c "
+                f"FROM {p}n{lvl}, (VALUES (40), (50), (60)) pcts(pct), "
+                f"(VALUES ('L'), ('R')) sides(side) "
+                f"WHERE d > 0 AND len(q) > 0 AND len(c) > 0) ch)")
+        union = " UNION ALL ".join(
+            f"SELECT doc_a, doc_b, d FROM {p}n{i} WHERE d > 0"
+            for i in range(4))
+        ctes.append(f"{p}a AS MATERIALIZED (SELECT doc_a, doc_b, min(d) AS md "
+                    f"FROM ({union}) u GROUP BY 1, 2)")
+        ctes.append(
+            f"{p}r AS MATERIALIZED (SELECT n0.doc_a, n0.doc_b, "
+            f"CASE WHEN n0.d = 0.0 THEN {MAXF} ELSE a.md END AS d "
+            f"FROM {p}n0 n0 LEFT JOIN {p}a a "
+            f"ON n0.doc_a = a.doc_a AND n0.doc_b = a.doc_b)")
+        return ctes
 
-    def addk(q: str, k: float) -> str:
-        return f"list_transform({q}, x -> x + {k!r})" if k >= 0             else f"list_transform({q}, x -> x - {-k!r})"
-
-    ktra_levels = []
+    ktra_ctes = []
+    cur = "k0"
     # NOTE: local name must not shadow the module-scope shingle k used by
     # the _sql_hashed(...) oracles generated further down this function
     ktra_k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
-    for lvl in range(3):  # MAX_KTRA_DEPTH=2 → levels at depth 0, 1, 2
-        prev = "k0" if lvl == 0 else f"g{lvl - 1}"
-        ktra_levels.append(
-            f"l{lvl} AS (SELECT doc_a, doc_b, c, q, "
-            f"{addk('q', -ktra_k)} AS qm, {addk('q', ktra_k)} AS qp, "
-            f"{ra0_d(addk('q', -ktra_k), 'c')} AS dm, {ra0_d('q', 'c')} AS dz, "
-            f"{ra0_d(addk('q', ktra_k), 'c')} AS dp FROM {prev})")
+    for lvl in range(3):  # MAX_KTRA_DEPTH=2 -> levels at depth 0, 1, 2
+        for dn, dexpr in (("m", f"list_transform(q, x -> x - {ktra_k!r})"),
+                          ("z", "q"),
+                          ("p", f"list_transform(q, x -> x + {ktra_k!r})")):
+            ktra_ctes.append(f"s{lvl}{dn} AS MATERIALIZED (SELECT doc_a, doc_b, "
+                             f"{dexpr} AS q, c FROM {cur})")
+            ktra_ctes.extend(ra_chain(f"a{lvl}{dn}", f"s{lvl}{dn}"))
+        ktra_ctes.append(
+            f"l{lvl} AS MATERIALIZED (SELECT cur.doc_a, cur.doc_b, cur.q, cur.c, "
+            f"am.d AS dm, az.d AS dz, ap.d AS dp FROM {cur} cur "
+            f"JOIN a{lvl}mr am ON cur.doc_a = am.doc_a "
+            f"AND cur.doc_b = am.doc_b "
+            f"JOIN a{lvl}zr az ON cur.doc_a = az.doc_a "
+            f"AND cur.doc_b = az.doc_b "
+            f"JOIN a{lvl}pr ap ON cur.doc_a = ap.doc_a "
+            f"AND cur.doc_b = ap.doc_b)")
         if lvl < 2:
-            # reference :303-306 — minus direction checked FIRST on ties
-            ktra_levels.append(
-                f"g{lvl} AS (SELECT doc_a, doc_b, c, "
-                f"CASE WHEN dm = least(dm, dz, dp) THEN qm "
-                f"WHEN dp = least(dm, dz, dp) THEN qp ELSE q END AS q "
-                f"FROM l{lvl})")
+            # reference :303-306 -- minus direction checked FIRST on ties
+            ktra_ctes.append(
+                f"g{lvl} AS MATERIALIZED (SELECT doc_a, doc_b, "
+                f"CASE WHEN dm = least(dm, dz, dp) "
+                f"THEN list_transform(q, x -> x - {ktra_k!r}) "
+                f"WHEN dp = least(dm, dz, dp) "
+                f"THEN list_transform(q, x -> x + {ktra_k!r}) "
+                f"ELSE q END AS q, c FROM l{lvl})")
+            cur = f"g{lvl}"
         ktra_k /= 2
     sql["ktra_pairs"] = f"""
 WITH s AS (SELECT doc_id, list_transform({sql_tokens('text')},
@@ -1570,7 +1614,7 @@ m AS (SELECT doc_id, CASE WHEN len(seq) > 0 THEN
       ELSE CAST([] AS DOUBLE[]) END AS q0 FROM s),
 k0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.q0 AS q, b.q0 AS c
        FROM m a JOIN m b ON a.doc_id < b.doc_id),
-{','.join(ktra_levels)}
+{','.join(ktra_ctes)}
 SELECT doc_a, doc_b, round(least(dm, dz, dp), 6) AS ktra_dist FROM l2
 """
 

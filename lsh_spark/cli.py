@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--delta", default=None,
                    help="parquet path of the NEW transcript batch for "
                         "ingest-delta")
+    p.add_argument("--bucketed-index", action="store_true",
+                   help="store the index stages as BUCKETED tables (bands "
+                        "on band_hash, hashes on doc_id): ingest-delta then "
+                        "probes without reshuffling the index side and "
+                        "folds deltas in as O(delta) appends")
     p.add_argument("--probe", default=None,
                    help="doc_id to search for (reference `search -f`); "
                         "required by the search command")
@@ -113,11 +118,24 @@ def main(argv=None):
                      else turn_docs(tr)).select("doc_id", "text"))
 
         if args.command == "index":
-            hashes = store.get_or_compute(
-                spark, "shingle_hashes",
-                lambda: doc_shingle_hashes_arrow(docs, cfg))
-            sigs = minhash.minhash_signatures(hashes, cfg)
-            bands = store.write(lsh_bands.band_buckets(sigs, cfg), "band_buckets")
+            if args.bucketed_index:
+                hashes = (
+                    store.read_bucketed(spark, "shingle_hashes")
+                    if store.exists_bucketed("shingle_hashes", spark)
+                    else store.write_bucketed(
+                        doc_shingle_hashes_arrow(docs, cfg),
+                        "shingle_hashes", ("doc_id",), 16))
+                sigs = minhash.minhash_signatures(hashes, cfg)
+                bands = store.write_bucketed(
+                    lsh_bands.band_buckets(sigs, cfg), "band_buckets",
+                    ("band_hash",), 16)
+            else:
+                hashes = store.get_or_compute(
+                    spark, "shingle_hashes",
+                    lambda: doc_shingle_hashes_arrow(docs, cfg))
+                sigs = minhash.minhash_signatures(hashes, cfg)
+                bands = store.write(lsh_bands.band_buckets(sigs, cfg),
+                                    "band_buckets")
             print(json.dumps({"stage": "band_buckets", "rows": bands.count()}))
             return
 
@@ -130,7 +148,8 @@ def main(argv=None):
                 raise SystemExit(
                     "ingest-delta requires --delta <transcripts parquet>")
             for stage in ("band_buckets", "shingle_hashes"):
-                if not store.exists(stage, spark):
+                if not (store.exists(stage, spark)
+                        or store.exists_bucketed(stage, spark)):
                     raise SystemExit(
                         f"ingest-delta needs the '{stage}' stage in "
                         f"{args.checkpoint_dir}; run the `index` command "
@@ -145,13 +164,15 @@ def main(argv=None):
             by_kind = {r["match_kind"]: r["n"] for r in
                        flags.groupBy("match_kind")
                             .agg(F.count("*").alias("n")).collect()}
+            read_bands = (store.read if store.exists("band_buckets", spark)
+                          else store.read_bucketed)
             print(json.dumps({
                 "stage": "ingest_delta",
                 "batch_docs": new_docs.count(),
                 "dup_flags": sum(by_kind.values()),
                 "vs_index": by_kind.get("index", 0),
                 "within_batch": by_kind.get("batch", 0),
-                "index_rows": store.read(spark, "band_buckets").count()}))
+                "index_rows": read_bands(spark, "band_buckets").count()}))
             return
 
         if args.command == "search":

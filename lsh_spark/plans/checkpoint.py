@@ -144,7 +144,10 @@ class CheckpointStore:
          .sortBy(*bucket_cols)
          .format("parquet")
          .saveAsTable(name))
-        self._log(stage)
+        # the manifest-recorded bucket spec lets a FRESH session (whose
+        # in-memory catalog forgot the table) re-register it over the
+        # persisted directory — see _ensure_bucketed_registered
+        self._log(stage, bucket_cols=list(bucket_cols), n_buckets=n_buckets)
         return spark.read.table(name).drop("_run_id", "_stage", "_part_id")
 
     def _bucketed_name(self, stage: str) -> str:
@@ -160,14 +163,98 @@ class CheckpointStore:
     def read_bucketed(self, spark: SparkSession, stage: str) -> DataFrame:
         if self._iceberg(spark):
             return self.read(spark, stage)
+        self._ensure_bucketed_registered(spark, stage)
         return spark.read.table(self._bucketed_name(stage)).drop(
             "_run_id", "_stage", "_part_id")
 
-    def _log(self, stage: str) -> None:
+    def exists_bucketed(self, stage: str, spark: SparkSession) -> bool:
+        if self._iceberg(spark):
+            return self.exists(stage, spark)
+        if spark.catalog.tableExists(self._bucketed_name(stage)):
+            return True
+        # the in-memory catalog forgets tables between sessions while
+        # their warehouse directories persist; the manifest's recorded
+        # bucket spec + the directory are the durable truth
+        return (self._bucket_spec(stage) is not None
+                and os.path.isdir(self._bucketed_location(spark, stage)))
+
+    def _bucketed_location(self, spark: SparkSession, stage: str) -> str:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        return os.path.join(wh.removeprefix("file:"),
+                            self._bucketed_name(stage))
+
+    def _bucket_spec(self, stage: str) -> dict | None:
+        if not os.path.exists(self._manifest()):
+            return None
+        with open(self._manifest()) as f:
+            entries = json.load(f)
+        for e in reversed(entries):
+            if e.get("stage") == stage and "bucket_cols" in e:
+                return e
+        return None
+
+    def _ensure_bucketed_registered(self, spark: SparkSession,
+                                    stage: str) -> None:
+        """Re-register a bucketed stage in a FRESH session: the in-memory
+        catalog loses table metadata across sessions, but the bucket-file
+        layout (bucket id encoded in file names) persists — an external
+        CLUSTERED BY table over the existing location restores the
+        shuffle-free join property for resumed runs."""
+        name = self._bucketed_name(stage)
+        if spark.catalog.tableExists(name):
+            return
+        spec = self._bucket_spec(stage)
+        loc = self._bucketed_location(spark, stage)
+        if spec is None or not os.path.isdir(loc):
+            raise FileNotFoundError(
+                f"bucketed stage {stage!r} not found (no catalog table, "
+                f"no manifest spec + directory at {loc})")
+        ddl = spark.read.parquet(loc)._jdf.schema().toDDL()
+        cols = ", ".join(f"`{c}`" for c in spec["bucket_cols"])
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+            f"INTO {spec['n_buckets']} BUCKETS LOCATION '{loc}'")
+
+    def append_bucketed(self, df: DataFrame, stage: str,
+                        bucket_cols: tuple[str, ...] = ("doc_id",),
+                        n_buckets: int = 16) -> DataFrame:
+        """APPEND rows to an existing bucketed stage — the delta fold-in
+        primitive: each append adds bucket-aligned files, so folding a
+        batch into a 10^12-row index costs O(delta), never an O(corpus)
+        rewrite, and the co-located-join property is preserved across
+        appends (every file in bucket i holds only hash(col)%n == i rows).
+        ``bucket_cols`` must match the original write_bucketed call
+        (Spark validates and fails loudly on a mismatch); the bucket
+        COUNT is read from the existing table's spec so appends can never
+        silently disagree with it."""
+        spark = df.sparkSession
+        stamped = (df.withColumn("_run_id", F.lit(self.run_id))
+                     .withColumn("_stage", F.lit(stage))
+                     .withColumn("_part_id", F.spark_partition_id()))
+        if self._iceberg(spark):
+            stamped.writeTo(self._table(stage)).append()
+            self._log(stage)
+            return self.read(spark, stage)
+        self._ensure_bucketed_registered(spark, stage)
+        for row in spark.sql(
+                f"DESCRIBE FORMATTED {self._bucketed_name(stage)}").collect():
+            if row["col_name"] == "Num Buckets":
+                n_buckets = int(row["data_type"])
+                break
+        (stamped.write.mode("append")
+         .bucketBy(n_buckets, *bucket_cols)
+         .sortBy(*bucket_cols)
+         .format("parquet")
+         .saveAsTable(self._bucketed_name(stage)))
+        self._log(stage, bucket_cols=list(bucket_cols), n_buckets=n_buckets)
+        return self.read_bucketed(spark, stage)
+
+    def _log(self, stage: str, **extra) -> None:
         entries = []
         if os.path.exists(self._manifest()):
             with open(self._manifest()) as f:
                 entries = json.load(f)
-        entries.append({"run_id": self.run_id, "stage": stage})
+        entries.append({"run_id": self.run_id, "stage": stage, **extra})
         with open(self._manifest(), "w") as f:
             json.dump(entries, f, indent=1)

@@ -249,10 +249,21 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
                       store: CheckpointStore, cfg: DedupConfig | None = None,
                       bands_stage: str = "bands",
                       hashes_stage: str = "shingle_hashes",
-                      update_index: bool = True) -> DataFrame:
+                      update_index: bool = True,
+                      bucketed: bool | None = None,
+                      n_buckets: int = 16) -> DataFrame:
     """Store-aware wrapper: probe the checkpointed index, then fold the new
     batch's bands + shingle hashes back into the store so the next delta
     sees this one.
+
+    ``bucketed`` (default: auto-detect from the store) is the 100 TB
+    shape: the index stages live as BUCKETED tables (bands on band_hash,
+    hashes on doc_id), so the probe join and verify semi-join never
+    reshuffle the corpus side, and the fold-in is an O(delta)
+    ``append_bucketed`` — never an O(corpus) union-rewrite.  Build such
+    an index with ``store.write_bucketed(..., ("band_hash",)/("doc_id",),
+    n_buckets)``; a plain ``store.write`` index keeps the original
+    read/union/rewrite path.
 
     Crash-ordering invariant (ADVICE r3): the HASHES stage is written
     BEFORE the bands stage.  A crash between the two writes then leaves
@@ -262,16 +273,28 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
     hashes would silently drop those candidates on the next delta."""
     cfg = cfg or DedupConfig()
     from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
-    index_bands = store.read(spark, bands_stage)
-    index_hashes = store.read(spark, hashes_stage)
+    if bucketed is None:
+        bucketed = store.exists_bucketed(bands_stage, spark)
+    if bucketed:
+        index_bands = store.read_bucketed(spark, bands_stage)
+        index_hashes = store.read_bucketed(spark, hashes_stage)
+    else:
+        index_bands = store.read(spark, bands_stage)
+        index_hashes = store.read(spark, hashes_stage)
     flags = incremental_dedup_flags(new_docs, index_bands, index_hashes, cfg)
     if update_index:
         flags = flags.localCheckpoint()  # materialize before index mutation
         new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
         new_bands = lsh_bands.band_buckets(
             minhash.minhash_signatures(new_hashes, cfg), cfg)
-        store.write(index_hashes.unionByName(new_hashes), hashes_stage)
-        store.write(index_bands.unionByName(new_bands), bands_stage)
+        if bucketed:
+            store.append_bucketed(new_hashes, hashes_stage,
+                                  ("doc_id",), n_buckets)
+            store.append_bucketed(new_bands, bands_stage,
+                                  ("band_hash",), n_buckets)
+        else:
+            store.write(index_hashes.unionByName(new_hashes), hashes_stage)
+            store.write(index_bands.unionByName(new_bands), bands_stage)
     return flags
 
 

@@ -31,19 +31,22 @@ def _split_fixture(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_cli_ingest_delta_flags_and_folds_index(spark, tmp_path):
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_cli_ingest_delta_flags_and_folds_index(spark, tmp_path, bucketed):
     base_p, delta_p = _split_fixture(spark, tmp_path)
     ck = str(tmp_path / "ck")
+    extra = ['"--bucketed-index"'] if bucketed else []
     script = textwrap.dedent(f"""
         import sys; sys.path.insert(0, {REPO!r})
         from lsh_spark import cli
         for argv in (
             ["index", "--transcripts", {base_p!r}, "--checkpoint-dir",
-             {ck!r}, "--cores", "4", "--num-perms", "16"],
+             {ck!r}, "--cores", "4", "--num-perms", "16",
+             {', '.join(extra)}],
             ["ingest-delta", "--delta", {delta_p!r}, "--checkpoint-dir",
              {ck!r}, "--cores", "4", "--num-perms", "16"],
         ):
-            cli.main(argv)
+            cli.main([a for a in argv if a])
     """)
     env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
     res = subprocess.run([sys.executable, "-c", script], text=True,
@@ -97,3 +100,81 @@ def test_incremental_dedup_commits_hashes_before_bands(spark, tmp_path,
                       bands_stage="band_buckets",
                       hashes_stage="shingle_hashes").collect()
     assert order == ["shingle_hashes", "band_buckets"]
+
+
+def test_incremental_dedup_bucketed_index(spark, tmp_path):
+    """100 TB index shape: with the index stages stored BUCKETED (bands
+    on band_hash, hashes on doc_id), incremental_dedup auto-detects the
+    bucketed store, produces identical flags to the plain-parquet path,
+    folds the delta in as an O(delta) append (second delta sees the
+    first), and the probe join needs fewer shuffles than the plain path."""
+    from lsh_spark.config import DedupConfig
+    from lsh_spark.operators import lsh_bands, minhash
+    from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    from lsh_spark.plans.pipeline import incremental_dedup, \
+        incremental_dedup_flags
+
+    cfg = DedupConfig(num_perms=8, shingle_k=2)
+    corpus = spark.createDataFrame(
+        [(f"c{i}", f"tok{i} a b c d e f g h{i}") for i in range(20)],
+        "doc_id string, text string")
+    batch1 = spark.createDataFrame(
+        [("n1", "tok3 a b c d e f g h3"),   # near-dup of c3
+         ("n2", "zz yy xx ww vv uu")],
+        "doc_id string, text string")
+    batch2 = spark.createDataFrame(
+        [("m1", "zz yy xx ww vv uu")],       # exact dup of n1-batch's n2
+        "doc_id string, text string")
+
+    hashes = doc_shingle_hashes_arrow(corpus, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg),
+                                   cfg)
+    plain = CheckpointStore(str(tmp_path / "plain"))
+    plain.write(hashes, "shingle_hashes")
+    plain.write(bands, "band_buckets")
+    bstore = CheckpointStore(str(tmp_path / "bucketed"))
+    bstore.write_bucketed(hashes, "shingle_hashes", ("doc_id",), 4)
+    bstore.write_bucketed(bands, "band_buckets", ("band_hash",), 4)
+
+    def flag_set(df):
+        return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+    got_plain = flag_set(incremental_dedup(
+        spark, batch1, plain, cfg,
+        bands_stage="band_buckets", hashes_stage="shingle_hashes"))
+    got_bucket = flag_set(incremental_dedup(
+        spark, batch1, bstore, cfg,
+        bands_stage="band_buckets", hashes_stage="shingle_hashes"))
+    assert got_plain == got_bucket and ("n1", "c3") in got_bucket
+
+    # O(delta) fold-in: the second delta must flag against the FIRST
+    # delta's doc, which only exists in the index via append_bucketed
+    got2 = flag_set(incremental_dedup(
+        spark, batch2, bstore, cfg,
+        bands_stage="band_buckets", hashes_stage="shingle_hashes"))
+    assert ("m1", "n2") in got2
+
+    # shuffle accounting: the bucketed index side needs no Exchange, so
+    # the probe plan carries strictly fewer shuffles than the plain path
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(bands_df, hashes_df):
+            df = incremental_dedup_flags(batch1, bands_df, hashes_df, cfg)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            import re
+            names = re.findall(r"\(\d+\) (\w+)", buf.getvalue())
+            assert names  # plan captured at all
+            return sum(1 for n in names if n == "Exchange")
+        nb = n_exchanges(bstore.read_bucketed(spark, "band_buckets"),
+                         bstore.read_bucketed(spark, "shingle_hashes"))
+        np_ = n_exchanges(plain.read(spark, "band_buckets"),
+                          plain.read(spark, "shingle_hashes"))
+        assert nb < np_, (nb, np_)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -523,3 +523,30 @@ def test_aligned_pair_distances_spark_matches_local(spark):
         want = ktra(np.asarray(seqs[a], np.int64),
                     np.asarray(seqs[b], np.int64))
         assert abs(got[(a, b)] - want) < 1e-9
+
+
+def test_relational_ra_ktra_match_kernels(spark):
+    """operators/align_relational — the level-expansion Column-algebra
+    forms — equal the NumPy kernels BITWISE: RA on integer sequences is
+    exact, and full KTRA (halving key-search over full-depth RA,
+    the reference's true configuration) agrees on every pair including
+    the greedy branch decisions."""
+    import numpy as np
+    from lsh_spark.operators.align import ktra, recursive_align
+    from lsh_spark.operators.align_relational import (
+        ktra_full_pairs, recursive_align_relational)
+    rng = np.random.default_rng(13)
+    seqs = {f"d{i}": [int(x) for x in rng.integers(1, 12, n)]
+            for i, n in enumerate([5, 17, 33, 50, 2])}
+    rows = [(a, b, seqs[a], seqs[b]) for a in seqs for b in seqs if a < b]
+    pairs = spark.createDataFrame(
+        rows, "doc_a string, doc_b string, seq_a array<long>, "
+              "seq_b array<long>")
+    ra_rel = {(r["doc_a"], r["doc_b"]): r["ra_dist"] for r in
+              recursive_align_relational(pairs, "seq_a", "seq_b").collect()}
+    kt_rel = {(r["doc_a"], r["doc_b"]): r["ktra_dist"] for r in
+              ktra_full_pairs(pairs).collect()}
+    for a, b, sa, sb in rows:
+        qa, qb = np.asarray(sa, np.int64), np.asarray(sb, np.int64)
+        assert ra_rel[(a, b)] == recursive_align(qa, qb), (a, b)
+        assert kt_rel[(a, b)] == round(ktra(qa, qb), 6), (a, b)
