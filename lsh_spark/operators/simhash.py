@@ -170,7 +170,14 @@ def simhash_candidate_pairs(sh: DataFrame, cfg: DedupConfig,
     """
     from lsh_spark.operators.skew import all_pair_rows, capped_pair_rows
     keys = _chunk_keys(cfg) if mode == "chunk" else _combo_keys(cfg)
-    keyed = sh.select("doc_id", F.posexplode(keys).alias("chunk_id", "chunk_val"))
+    # stage the key array in its own Project before exploding — same
+    # shape as operators/lsh_bands.py band_buckets, where exploding the
+    # inline higher-order expression measurably dropped Generate out of
+    # whole-stage codegen (here both forms codegen today; the staged form
+    # is kept so the generator input stays a plain attribute)
+    keyed = (sh.select("doc_id", keys.alias("_keys"))
+             .select("doc_id",
+                     F.posexplode("_keys").alias("chunk_id", "chunk_val")))
     key_cols = ["chunk_id", "chunk_val"]
     rows = (all_pair_rows(keyed, key_cols) if all_pairs
             else capped_pair_rows(keyed, key_cols, cfg))
