@@ -136,6 +136,10 @@ def main(argv=None):
                 sigs = minhash.minhash_signatures(hashes, cfg)
                 bands = store.write(lsh_bands.band_buckets(sigs, cfg),
                                     "band_buckets")
+            # stamp the banding geometry so a later ingest-delta with a
+            # drifted session cfg fails loudly instead of joining disjoint
+            # band keys (plans/checkpoint.py:validate_geometry)
+            store.record_geometry(cfg)
             print(json.dumps({"stage": "band_buckets", "rows": bands.count()}))
             return
 
@@ -164,8 +168,12 @@ def main(argv=None):
             by_kind = {r["match_kind"]: r["n"] for r in
                        flags.groupBy("match_kind")
                             .agg(F.count("*").alias("n")).collect()}
-            read_bands = (store.read if store.exists("band_buckets", spark)
-                          else store.read_bucketed)
+            # mirror incremental_dedup's auto-detect precedence (bucketed
+            # first) so the reported index_rows counts the same table the
+            # probe and fold-in actually used
+            read_bands = (store.read_bucketed
+                          if store.exists_bucketed("band_buckets", spark)
+                          else store.read)
             print(json.dumps({
                 "stage": "ingest_delta",
                 "batch_docs": new_docs.count(),

@@ -184,14 +184,27 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 30,
                 break
 
     sig = signature(edges)
+    converged = False
     for _round in range(start_round, max_rounds):
         edges = small_star(large_star(edges)).localCheckpoint()
         if store is not None:
             edges = store.write(edges, f"{stage_prefix}_round{_round + 1}")
         new_sig = signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # ADVICE r4: labels derived from a non-converged edge set violate
+        # the (doc_id, cluster_id = component min) contract — a node can
+        # still appear as src of several edges with conflicting targets.
+        # Never return them silently.
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixed point within "
+            f"max_rounds={max_rounds} (resumed at round {start_round}); "
+            f"labels would be unsound — raise max_rounds (rounds needed "
+            f"grow ~log2 of component diameter) or resume from the "
+            f"checkpointed '{stage_prefix}_round*' state")
 
     # converged: every non-root points directly at its component min
     labels = edges.select(F.col("src").alias("doc_id"),

@@ -309,17 +309,28 @@ def ann_ivf(corpus: DataFrame, probes: DataFrame, k: int = 5,
 
 def _verify_bucket_pairs(vectors: DataFrame, buckets: DataFrame,
                          threshold: float, id_col: str,
-                         vec_col: str) -> DataFrame:
+                         vec_col: str,
+                         hot_bucket_cap: int | None = None) -> DataFrame:
     """Bucket-collision candidates → exact cosine verify ≥ threshold.
 
     The 100 TB join shape: pairs come from an equi-join on (table_id,
-    bucket) — never a cross join — and only candidate rows ship their
-    embedding arrays for the exact rerank."""
-    la = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_a"))
-    lb = buckets.select("table_id", "bucket", F.col("vec_id").alias("id_b"))
-    cand = (la.join(lb, ["table_id", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    bucket) — never a cross join — and the self-join is routed through
+    the shared skew module (skew.capped_pair_rows): a degenerate bucket
+    (mass-duplicated embeddings, zero vectors — all sign bits equal)
+    holding k > cap members emits k-1 star edges instead of k²/2 pair
+    rows, exactly like the MinHash-band / SimHash-chunk / gram joins.
+    Star edges still get the exact cosine verification below, so every
+    emitted pair is a true ≥-threshold near-dup; only candidate rows
+    ship their embedding arrays for the rerank."""
+    from lsh_spark.config import DedupConfig
+    from lsh_spark.operators import skew
+    cfg = DedupConfig() if hot_bucket_cap is None \
+        else DedupConfig(hot_bucket_cap=hot_bucket_cap)
+    cand = (skew.capped_pair_rows(buckets, ["table_id", "bucket"], cfg,
+                                  id_col="vec_id")
+            .select(F.col("doc_a").alias("id_a"),
+                    F.col("doc_b").alias("id_b"))
+            .distinct())
     va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
@@ -332,7 +343,8 @@ def _verify_bucket_pairs(vectors: DataFrame, buckets: DataFrame,
 
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
                         n_planes: int = 8, n_tables: int = 8,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        hot_bucket_cap: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (bucketed, then exact-verified).
 
     Output: (id_a, id_b, cos_sim). Gaussian multi-table buckets (Arrow
@@ -340,13 +352,15 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.95,
     tested in tests/test_knn_tfidf_metrics.py.
     """
     b = hyperplane_signs(vectors, n_planes, n_tables, id_col=id_col, vec_col=vec_col)
-    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col)
+    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col,
+                                hot_bucket_cap=hot_bucket_cap)
 
 
 def embedding_near_dups_portable(vectors: DataFrame, threshold: float = 0.95,
                                  n_planes: int = 4, n_tables: int = 4,
                                  id_col: str = "vec_id",
-                                 vec_col: str = "embedding") -> DataFrame:
+                                 vec_col: str = "embedding",
+                                 hot_bucket_cap: int | None = None) -> DataFrame:
     """Same bucketed near-dup join shape, but candidates come from the
     DETERMINISTIC integer hyperplane family (``hyperplane_signs_portable``)
     so the whole operator — buckets, collision join, exact verify — is
@@ -356,4 +370,5 @@ def embedding_near_dups_portable(vectors: DataFrame, threshold: float = 0.95,
     """
     b = hyperplane_signs_portable(vectors, n_planes, n_tables,
                                   id_col=id_col, vec_col=vec_col)
-    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col)
+    return _verify_bucket_pairs(vectors, b, threshold, id_col, vec_col,
+                                hot_bucket_cap=hot_bucket_cap)

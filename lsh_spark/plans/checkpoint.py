@@ -250,6 +250,49 @@ class CheckpointStore:
         self._log(stage, bucket_cols=list(bucket_cols), n_buckets=n_buckets)
         return self.read_bucketed(spark, stage)
 
+    # banding-geometry fields that determine band-key compatibility between
+    # an index and a probe (ADVICE r4: probing an r=1 index with r=2 session
+    # defaults joins band_id 0-15 keys against band_id 0-31 rows and silently
+    # reports zero vs-index duplicates)
+    GEOMETRY_FIELDS = ("num_perms", "band_rows", "shingle_k",
+                       "shingle_stride", "hash_mode", "granularity")
+
+    def record_geometry(self, cfg) -> None:
+        """Stamp the index's banding geometry into the run manifest at
+        build time so later probes can detect a config drift."""
+        self._log("_geometry", geometry={
+            f: getattr(cfg, f) for f in self.GEOMETRY_FIELDS})
+
+    def geometry(self) -> dict | None:
+        """Last recorded index geometry, or None for a pre-geometry store."""
+        if not os.path.exists(self._manifest()):
+            return None
+        with open(self._manifest()) as f:
+            entries = json.load(f)
+        for e in reversed(entries):
+            if e.get("stage") == "_geometry":
+                return e["geometry"]
+        return None
+
+    def validate_geometry(self, cfg) -> None:
+        """Raise if the session cfg's banding geometry differs from what the
+        checkpointed index was built with.  No-op when the store predates
+        geometry recording (nothing to validate against)."""
+        rec = self.geometry()
+        if rec is None:
+            return
+        cur = {f: getattr(cfg, f) for f in rec}
+        if cur != rec:
+            built = {k: rec[k] for k in rec if cur.get(k) != rec[k]}
+            now = {k: cur[k] for k in built}
+            raise ValueError(
+                f"index geometry mismatch — the checkpointed band index at "
+                f"{self.root} was built with {built} but the session cfg "
+                f"has {now}; probing across banding geometries silently "
+                f"yields zero vs-index matches.  Rebuild the index or pin "
+                f"the cfg (e.g. DedupConfig(band_rows=...)) to the "
+                f"recorded values.")
+
     def _log(self, stage: str, **extra) -> None:
         entries = []
         if os.path.exists(self._manifest()):

@@ -273,6 +273,10 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
     hashes would silently drop those candidates on the next delta."""
     cfg = cfg or DedupConfig()
     from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
+    # ADVICE r4: a probe whose banding geometry differs from the index's
+    # (e.g. r=2 session defaults against an r=1-era index) joins disjoint
+    # band keys and silently reports zero vs-index dups — fail loudly
+    store.validate_geometry(cfg)
     if bucketed is None:
         bucketed = store.exists_bucketed(bands_stage, spark)
     if bucketed:
