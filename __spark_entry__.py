@@ -132,6 +132,91 @@ def _sql_cosine(a: str, b: str, dim: int = 64) -> str:
             f"THEN ({d}) / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END")
 
 
+_SQL_MAXF = "1.7976931348623157e308"  # sys.float_info.max, reference :25
+
+
+def _sql_man_d(q: str, c: str) -> str:
+    """Size-equalized Manhattan over DOUBLE lists, left-to-right fold —
+    the same element order Spark's ``F.aggregate`` uses, so sums are
+    bitwise equal between engines."""
+    return (f"COALESCE(list_sum(list_transform(range(1, len({c}) + 1), "
+            f"i -> abs(({c})[i] - COALESCE(({q})[i], 0.0)))), 0.0)")
+
+
+def _sql_ra_chain(p: str, src: str) -> list[str]:
+    """CTE chain: full-depth RA over CTE ``src`` rows
+    (doc_a, doc_b, q DOUBLE[], c DOUBLE[]) -> result CTE ``{p}r``
+    with (doc_a, doc_b, d)."""
+    szx = "CAST(trunc(len(c)/100.0*pct + 1) AS BIGINT)"
+    ctes = [f"{p}n0 AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
+            f"{_sql_man_d('q', 'c')} AS d FROM {src})"]
+    for lvl in range(3):
+        ctes.append(
+            f"{p}n{lvl + 1} AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
+            f"{_sql_man_d('q', 'c')} AS d FROM (SELECT doc_a, doc_b, "
+            f"CASE WHEN side = 'L' THEN (q)[1 : len(q)//2 + 1] "
+            f"ELSE (q)[len(q)//2 + 2 : len(q)] END AS q, "
+            f"CASE WHEN side = 'L' THEN (c)[1 : {szx}] "
+            f"ELSE (c)[len(c) + 2 - {szx} : len(c)] END AS c "
+            f"FROM {p}n{lvl}, (VALUES (40), (50), (60)) pcts(pct), "
+            f"(VALUES ('L'), ('R')) sides(side) "
+            f"WHERE d > 0 AND len(q) > 0 AND len(c) > 0) ch)")
+    union = " UNION ALL ".join(
+        f"SELECT doc_a, doc_b, d FROM {p}n{i} WHERE d > 0"
+        for i in range(4))
+    ctes.append(f"{p}a AS MATERIALIZED (SELECT doc_a, doc_b, min(d) AS md "
+                f"FROM ({union}) u GROUP BY 1, 2)")
+    ctes.append(
+        f"{p}r AS MATERIALIZED (SELECT n0.doc_a, n0.doc_b, "
+        f"CASE WHEN n0.d = 0.0 THEN {_SQL_MAXF} ELSE a.md END AS d "
+        f"FROM {p}n0 n0 LEFT JOIN {p}a a "
+        f"ON n0.doc_a = a.doc_a AND n0.doc_b = a.doc_b)")
+    return ctes
+
+
+def _sql_ktra_chain(src: str = "k0") -> str:
+    """KTRA at the reference's TRUE configuration as a comma-joined CTE
+    chain: halving key-search (k = 1, 0.5, 0.25) over FULL-depth
+    recursive alignment (MAX_RA_DEPTH=3), each direction's RA the same
+    level-unrolled recursion tree as ``ra_pairs``, here over DOUBLE
+    sequences.  ``src`` must provide (doc_a, doc_b, q DOUBLE[],
+    c DOUBLE[]); the final CTE is ``l2`` with (doc_a, doc_b, dm, dz, dp).
+    Every Manhattan folds left-to-right in both engines, so dm/dz/dp —
+    and therefore the greedy tie decisions — are bitwise equal between
+    Spark and DuckDB."""
+    ktra_ctes = []
+    cur = src
+    ktra_k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
+    for lvl in range(3):  # MAX_KTRA_DEPTH=2 -> levels at depth 0, 1, 2
+        for dn, dexpr in (("m", f"list_transform(q, x -> x - {ktra_k!r})"),
+                          ("z", "q"),
+                          ("p", f"list_transform(q, x -> x + {ktra_k!r})")):
+            ktra_ctes.append(f"s{lvl}{dn} AS MATERIALIZED (SELECT doc_a, doc_b, "
+                             f"{dexpr} AS q, c FROM {cur})")
+            ktra_ctes.extend(_sql_ra_chain(f"a{lvl}{dn}", f"s{lvl}{dn}"))
+        ktra_ctes.append(
+            f"l{lvl} AS MATERIALIZED (SELECT cur.doc_a, cur.doc_b, cur.q, cur.c, "
+            f"am.d AS dm, az.d AS dz, ap.d AS dp FROM {cur} cur "
+            f"JOIN a{lvl}mr am ON cur.doc_a = am.doc_a "
+            f"AND cur.doc_b = am.doc_b "
+            f"JOIN a{lvl}zr az ON cur.doc_a = az.doc_a "
+            f"AND cur.doc_b = az.doc_b "
+            f"JOIN a{lvl}pr ap ON cur.doc_a = ap.doc_a "
+            f"AND cur.doc_b = ap.doc_b)")
+        if lvl < 2:
+            # reference :303-306 -- minus direction checked FIRST on ties
+            ktra_ctes.append(
+                f"g{lvl} AS MATERIALIZED (SELECT doc_a, doc_b, "
+                f"CASE WHEN dm = least(dm, dz, dp) "
+                f"THEN list_transform(q, x -> x - {ktra_k!r}) "
+                f"WHEN dp = least(dm, dz, dp) "
+                f"THEN list_transform(q, x -> x + {ktra_k!r}) "
+                f"ELSE q END AS q, c FROM l{lvl})")
+            cur = f"g{lvl}"
+        ktra_k /= 2
+    return ",".join(ktra_ctes)
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -681,15 +766,84 @@ def q_confidence_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
                 th.select(F.round("threshold", 6).alias("threshold")))))
 
 
-def q_dist_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: the reference's distance→similarity normalization
-    sim = min(100, e^(1/d) − 1) over verified-pair Jaccard distances."""
-    vp = _verified_pairs(spark, sf_dir).withColumn(
-        "distance", F.lit(1.0) - F.col("jaccard"))
-    return vp.select(
-        "doc_a", "doc_b",
-        F.round(metrics.distance_to_similarity(F.col("distance")), 6)
-         .alias("sim"))
+def q_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL search lifecycle as ONE declarative plan
+    (``lsh.py:447-541``, dead code included): LSH probe → candidate
+    lists ranked by band agreement → SHOW_TOP_X=20 cut → exact KTRA
+    matcher distances (TRUE full-depth config, A9) → re-rank ascending →
+    A10 distance→similarity normalization → G7 confidence over the
+    matcher distances → G8 trained threshold (broadcast constant
+    column) → G9 clip of whole result lists with confidence ≤ CONF_T.
+    Every stage is individually oracle-exact elsewhere on the board;
+    this row proves the COMPOSITION, with confidence computed over the
+    matcher distances exactly as the reference does (``lsh.py:353-382``
+    fed by the A-ops) rather than the band-agreement estimate the
+    `confidence_clipped` row uses.
+
+    Queries are restricted to candidate lists with ≥ 2 entries
+    (singleton lists have confidence ≡ 0 and are clipped regardless —
+    dropping them BEFORE the matcher is the reference's own economy:
+    matcher distances are only computed over retrieved candidate
+    lists).  Determinism: the per-query tail sum folds left-to-right
+    over the rank-sorted distance list (F.aggregate here, list_reduce
+    in the oracle), so confidences are bitwise equal between engines.
+
+    Scale shape: the matcher runs on ≤ TOP_X rows per query AFTER the
+    banded-join retrieval — pair volume is output-bounded, never
+    corpus-quadratic; the relational KTRA expansion is shuffle-free
+    until its final per-pair min."""
+    from lsh_spark.functions.text import tokens_col
+    from lsh_spark.operators.align_relational import ktra_full_pairs
+    cand = q_lsh_candidates(spark, sf_dir)
+    wl = Window.partitionBy("doc_a")
+    w = wl.orderBy(F.desc("band_agreement"), F.asc("doc_b"))
+    lists = (cand.withColumn("probe_rank", F.row_number().over(w))
+             .withColumn("n_cand", F.count("*").over(wl))
+             .filter((F.col("n_cand") >= 2) & (F.col("probe_rank") <= 20))
+             .select("doc_a", "doc_b"))
+    docs = _conv_docs(spark, sf_dir)
+    seqs = docs.select("doc_id", F.transform(
+        tokens_col(F.col("text")),
+        lambda t: F.length(t).cast("long")).alias("seq"))
+    pairs_df = (lists
+                .join(seqs.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("seq").alias("seq_a")), "doc_a")
+                .join(seqs.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("seq").alias("seq_b")), "doc_b"))
+    kt = ktra_full_pairs(pairs_df)
+    wr = Window.partitionBy("doc_a").orderBy(F.asc("ktra_dist"),
+                                             F.asc("doc_b"))
+    rr = kt.withColumn("rank", F.row_number().over(wr).cast("int"))
+    arr = rr.groupBy("doc_a").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "ktra_dist")))
+        .alias("dl"))
+    tail = F.when(
+        F.size("dl") > 1,
+        F.aggregate(F.slice(F.col("dl"), 2, 19), F.lit(0.0),
+                    lambda a, x: a + x["ktra_dist"])).otherwise(F.lit(0.0))
+    conf = arr.select(
+        F.col("doc_a").alias("query_id"),
+        F.when((F.size("dl") > 1) & (tail > 0),
+               (F.size("dl") - 1) * F.col("dl")[0]["ktra_dist"] / tail)
+         .otherwise(F.lit(0.0)).alias("confidence"))
+    top1 = rr.filter(F.col("rank") == 1).select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("top1_id"))
+    labels = spark.read.parquet(synth.dup_labels_path(
+        synth.tier_for_sf_dir(sf_dir)))
+    wrong = (conf.join(top1, "query_id")
+             .join(labels, F.col("query_id") == F.col("conv_id_a"))
+             .filter(F.col("top1_id") != F.col("conv_id_b"))
+             .select("confidence"))
+    th = wrong.agg(F.round(F.max("confidence"), 6).alias("threshold"))
+    return (rr.join(conf.filter(F.col("confidence") > CONF_T),
+                    rr.doc_a == F.col("query_id"))
+            .crossJoin(F.broadcast(th))
+            .select("query_id", F.col("doc_b").alias("result_id"),
+                    "ktra_dist",
+                    F.round(metrics.distance_to_similarity(
+                        F.col("ktra_dist")), 6).alias("sim"),
+                    "rank", F.round("confidence", 6).alias("confidence"),
+                    "threshold"))
 
 
 def q_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,7 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ra_pairs": q_ra_pairs,
         "tfidf_filtered": q_tfidf_filtered,
         "confidence_clipped": q_confidence_clipped,
-        "dist_similarity": q_dist_similarity,
+        "search_rerank": q_search_rerank,
         "quarantine": q_quarantine,
         "search_probe": q_search_probe,
     }
@@ -1526,84 +1680,8 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {bals} AS bals_dist
 FROM r a JOIN v b ON a.doc_id < b.doc_id
 """
 
-    # A9 KTRA (MAX_RA_DEPTH=0 configuration, single-array query — the
-    # dispatcher's use_ls=False form, reference :336-346) — double-valued
-    # after mean-subtraction; both engines fold sums left-to-right over
-    # the same element order, and the result is rounded to 6 decimals.
-    MAXF = "1.7976931348623157e308"  # sys.float_info.max, reference :25
-
-    def man_d(q: str, c: str) -> str:
-        return (f"COALESCE(list_sum(list_transform(range(1, len({c}) + 1), "
-                f"i -> abs(({c})[i] - COALESCE(({q})[i], 0.0)))), 0.0)")
-
-    # KTRA at the reference's TRUE configuration: halving key-search over
-    # FULL-depth recursive alignment (MAX_RA_DEPTH=3).  Each direction's
-    # RA is the same level-unrolled recursion tree as ra_pairs, here over
-    # DOUBLE sequences; every Manhattan folds left-to-right in both
-    # engines, so dm/dz/dp -- and therefore the greedy tie decisions --
-    # are bitwise equal between Spark and DuckDB.
-    def ra_chain(p: str, src: str) -> list[str]:
-        """CTE chain: full-depth RA over CTE ``src`` rows
-        (doc_a, doc_b, q DOUBLE[], c DOUBLE[]) -> result CTE ``{p}r``
-        with (doc_a, doc_b, d)."""
-        szx = "CAST(trunc(len(c)/100.0*pct + 1) AS BIGINT)"
-        ctes = [f"{p}n0 AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
-                f"{man_d('q', 'c')} AS d FROM {src})"]
-        for lvl in range(3):
-            ctes.append(
-                f"{p}n{lvl + 1} AS MATERIALIZED (SELECT doc_a, doc_b, q, c, "
-                f"{man_d('q', 'c')} AS d FROM (SELECT doc_a, doc_b, "
-                f"CASE WHEN side = 'L' THEN (q)[1 : len(q)//2 + 1] "
-                f"ELSE (q)[len(q)//2 + 2 : len(q)] END AS q, "
-                f"CASE WHEN side = 'L' THEN (c)[1 : {szx}] "
-                f"ELSE (c)[len(c) + 2 - {szx} : len(c)] END AS c "
-                f"FROM {p}n{lvl}, (VALUES (40), (50), (60)) pcts(pct), "
-                f"(VALUES ('L'), ('R')) sides(side) "
-                f"WHERE d > 0 AND len(q) > 0 AND len(c) > 0) ch)")
-        union = " UNION ALL ".join(
-            f"SELECT doc_a, doc_b, d FROM {p}n{i} WHERE d > 0"
-            for i in range(4))
-        ctes.append(f"{p}a AS MATERIALIZED (SELECT doc_a, doc_b, min(d) AS md "
-                    f"FROM ({union}) u GROUP BY 1, 2)")
-        ctes.append(
-            f"{p}r AS MATERIALIZED (SELECT n0.doc_a, n0.doc_b, "
-            f"CASE WHEN n0.d = 0.0 THEN {MAXF} ELSE a.md END AS d "
-            f"FROM {p}n0 n0 LEFT JOIN {p}a a "
-            f"ON n0.doc_a = a.doc_a AND n0.doc_b = a.doc_b)")
-        return ctes
-
-    ktra_ctes = []
-    cur = "k0"
-    # NOTE: local name must not shadow the module-scope shingle k used by
-    # the _sql_hashed(...) oracles generated further down this function
-    ktra_k = 1.0  # INITIAL_KTRA_K_VALUE, reference constants.py:123
-    for lvl in range(3):  # MAX_KTRA_DEPTH=2 -> levels at depth 0, 1, 2
-        for dn, dexpr in (("m", f"list_transform(q, x -> x - {ktra_k!r})"),
-                          ("z", "q"),
-                          ("p", f"list_transform(q, x -> x + {ktra_k!r})")):
-            ktra_ctes.append(f"s{lvl}{dn} AS MATERIALIZED (SELECT doc_a, doc_b, "
-                             f"{dexpr} AS q, c FROM {cur})")
-            ktra_ctes.extend(ra_chain(f"a{lvl}{dn}", f"s{lvl}{dn}"))
-        ktra_ctes.append(
-            f"l{lvl} AS MATERIALIZED (SELECT cur.doc_a, cur.doc_b, cur.q, cur.c, "
-            f"am.d AS dm, az.d AS dz, ap.d AS dp FROM {cur} cur "
-            f"JOIN a{lvl}mr am ON cur.doc_a = am.doc_a "
-            f"AND cur.doc_b = am.doc_b "
-            f"JOIN a{lvl}zr az ON cur.doc_a = az.doc_a "
-            f"AND cur.doc_b = az.doc_b "
-            f"JOIN a{lvl}pr ap ON cur.doc_a = ap.doc_a "
-            f"AND cur.doc_b = ap.doc_b)")
-        if lvl < 2:
-            # reference :303-306 -- minus direction checked FIRST on ties
-            ktra_ctes.append(
-                f"g{lvl} AS MATERIALIZED (SELECT doc_a, doc_b, "
-                f"CASE WHEN dm = least(dm, dz, dp) "
-                f"THEN list_transform(q, x -> x - {ktra_k!r}) "
-                f"WHEN dp = least(dm, dz, dp) "
-                f"THEN list_transform(q, x -> x + {ktra_k!r}) "
-                f"ELSE q END AS q, c FROM l{lvl})")
-            cur = f"g{lvl}"
-        ktra_k /= 2
+    # A9 KTRA — the reference's TRUE configuration via the module-level
+    # _sql_ktra_chain (shared with the search_rerank composition).
     sql["ktra_pairs"] = f"""
 WITH s AS (SELECT doc_id, list_transform({sql_tokens('text')},
            t -> CAST(length(t) AS BIGINT)) AS seq
@@ -1614,7 +1692,7 @@ m AS (SELECT doc_id, CASE WHEN len(seq) > 0 THEN
       ELSE CAST([] AS DOUBLE[]) END AS q0 FROM s),
 k0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.q0 AS q, b.q0 AS c
        FROM m a JOIN m b ON a.doc_id < b.doc_id),
-{','.join(ktra_ctes)}
+{_sql_ktra_chain()}
 SELECT doc_a, doc_b, round(least(dm, dz, dp), 6) AS ktra_dist FROM l2
 """
 
@@ -1654,7 +1732,7 @@ n0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.seq AS q, b.seq AS c,
 allc AS ({ra_union}),
 agg AS (SELECT doc_a, doc_b, min(d) AS md FROM allc GROUP BY doc_a, doc_b)
 SELECT n0.doc_a, n0.doc_b,
-       CAST(CASE WHEN n0.d = 0 THEN {MAXF} ELSE agg.md END AS DOUBLE) AS ra_dist
+       CAST(CASE WHEN n0.d = 0 THEN {_SQL_MAXF} ELSE agg.md END AS DOUBLE) AS ra_dist
 FROM n0 LEFT JOIN agg ON n0.doc_a = agg.doc_a AND n0.doc_b = agg.doc_b
 """
 
@@ -1736,14 +1814,65 @@ FROM ranked r JOIN conf c ON c.query_id = r.doc_a CROSS JOIN th
 WHERE c.confidence > {CONF_T} AND r.rank <= 20
 """
 
-    sql["dist_similarity"] = f"""
-WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_exact_jaccard()},
-vp AS (SELECT doc_a, doc_b, 1.0 - jaccard AS d FROM jac
-       WHERE jaccard >= {JACCARD_T})
-SELECT doc_a, doc_b,
-       round(CASE WHEN d > 0 THEN least(100.0, exp(1.0 / d) - 1.0)
-                  ELSE 100.0 END, 6) AS sim
-FROM vp
+    # The full search lifecycle (probe -> top-X candidate lists -> exact
+    # KTRA re-rank -> A10 similarity -> confidence gate -> clip); the
+    # matcher chain is the same _sql_ktra_chain as ktra_pairs, fed by the
+    # LSH candidate lists instead of an all-pairs universe.
+    sql["search_rerank"] = f"""
+WITH {_sql_conv_docs(tp)}, {_sql_hashed(k)}, {_sql_minhash(CFG16.num_perms)},
+cand AS MATERIALIZED (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(count(*) AS INT) AS agree
+  FROM mh x JOIN mh y
+    ON x.perm_id = y.perm_id AND x.minhash = y.minhash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+lists AS (
+  SELECT doc_a, doc_b,
+         CAST(row_number() OVER (PARTITION BY doc_a
+              ORDER BY agree DESC, doc_b ASC) AS INT) AS probe_rank,
+         count(*) OVER (PARTITION BY doc_a) AS n_cand
+  FROM cand),
+topl AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM lists WHERE n_cand >= 2 AND probe_rank <= 20),
+s AS (SELECT doc_id, list_transform({sql_tokens('text')},
+      t -> CAST(length(t) AS BIGINT)) AS seq FROM docs),
+m AS MATERIALIZED (SELECT doc_id, CASE WHEN len(seq) > 0 THEN
+        list_transform(seq, x -> CAST(x AS DOUBLE)
+                       - CAST(list_sum(seq) AS DOUBLE) / len(seq))
+      ELSE CAST([] AS DOUBLE[]) END AS q0 FROM s
+      WHERE doc_id IN (SELECT doc_a FROM topl UNION SELECT doc_b FROM topl)),
+k0 AS MATERIALIZED (SELECT t.doc_a, t.doc_b, a.q0 AS q, b.q0 AS c
+      FROM topl t JOIN m a ON a.doc_id = t.doc_a
+      JOIN m b ON b.doc_id = t.doc_b),
+{_sql_ktra_chain()},
+kt AS MATERIALIZED (
+  SELECT doc_a, doc_b, round(least(dm, dz, dp), 6) AS ktra_dist FROM l2),
+rr AS MATERIALIZED (
+  SELECT doc_a, doc_b, ktra_dist,
+         CAST(row_number() OVER (PARTITION BY doc_a
+              ORDER BY ktra_dist ASC, doc_b ASC) AS INT) AS rank
+  FROM kt),
+dls AS (SELECT doc_a, list(ktra_dist ORDER BY rank) AS dl FROM rr GROUP BY doc_a),
+conf AS MATERIALIZED (
+  SELECT doc_a AS query_id,
+         CASE WHEN len(dl) > 1 AND list_reduce(dl[2:], (x, y) -> x + y) > 0
+              THEN (len(dl) - 1) * dl[1] / list_reduce(dl[2:], (x, y) -> x + y)
+              ELSE 0.0 END AS confidence
+  FROM dls),
+top1 AS (SELECT doc_a AS query_id, doc_b AS top1_id FROM rr WHERE rank = 1),
+labels AS (SELECT conv_id_a, conv_id_b FROM read_parquet('{lp}')),
+wrong AS (
+  SELECT c.confidence FROM conf c
+  JOIN top1 t ON t.query_id = c.query_id
+  JOIN labels l ON l.conv_id_a = c.query_id
+  WHERE t.top1_id <> l.conv_id_b),
+th AS (SELECT round(max(confidence), 6) AS threshold FROM wrong)
+SELECT r.doc_a AS query_id, r.doc_b AS result_id, r.ktra_dist,
+       round(CASE WHEN r.ktra_dist > 0
+                  THEN least(100.0, exp(1.0 / r.ktra_dist) - 1.0)
+                  ELSE 100.0 END, 6) AS sim,
+       r.rank, round(c.confidence, 6) AS confidence, th.threshold
+FROM rr r JOIN conf c ON c.query_id = r.doc_a CROSS JOIN th
+WHERE c.confidence > {CONF_T}
 """
 
     sql["quarantine"] = f"""

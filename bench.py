@@ -14,7 +14,8 @@ VM's measured busy-thread saturation knee (see BENCH/BASELINE.md).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), LSH_BENCH_SKIP_SCALING=1 to skip the
-two-session scaling run.
+two-session scaling run, LSH_BENCH_QUERY_REPS (default 3) for the
+median-of-reps per-query lines.
 """
 
 from __future__ import annotations
@@ -222,11 +223,24 @@ def main():
     synth.generate_tier(tier)
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
 
-    spark = get_spark("bench_queries", cores=CORES)
-    try:
-        timings, n_turns, extras = run_queries(spark)
-    finally:
-        spark.stop()
+    # per-query walls are medians over LSH_BENCH_QUERY_REPS fresh-session
+    # reps (default 3): single-shot lines on this VM swing up to 2x on
+    # host CPU-steal (r4: minhash_signatures 9.6 s driver vs 3.0 s
+    # builder, same binary), which masquerades as a regression. The
+    # median is the robust per-query estimator; raw reps are recorded.
+    # The headline pipeline wall stays min-of-reps (least-stolen).
+    query_reps = int(os.environ.get("LSH_BENCH_QUERY_REPS", "3"))
+    queries_raw: list[dict] = []
+    for _ in range(query_reps):
+        spark = get_spark("bench_queries", cores=CORES)
+        try:
+            rep_timings, n_turns, extras = run_queries(spark)
+        finally:
+            spark.stop()
+        queries_raw.append(rep_timings)
+    import statistics
+    timings = {k: round(statistics.median(r[k] for r in queries_raw), 3)
+               for k in queries_raw[0]}
 
     turn_timings = None
     if os.environ.get("LSH_BENCH_SKIP_TURN") != "1":
@@ -250,6 +264,8 @@ def main():
         "sf": float(sf),
         "turns": n_turns,
         "queries": timings,
+        "query_reps": query_reps,
+        "queries_raw": queries_raw,
         **extras,
     }
     if turn_timings is not None:
