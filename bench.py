@@ -196,6 +196,52 @@ def run_incremental(spark) -> dict:
     return out
 
 
+def run_search_probe(spark) -> dict:
+    """Steady-state probe latency against the CHECKPOINTED band index —
+    the reference's primary user surface (`search -f query.wav`,
+    operators/search.py). The index is built once (amortized, bucketed
+    saveAsTable like a deployed read path); each probe broadcasts a
+    handful of band rows against the index scan, so the corpus never
+    shuffles. Median-of-probes is the latency line; raw walls recorded
+    (first probe carries the scan-warmup)."""
+    import shutil
+    import statistics
+    from lsh_spark.operators.search import search_probe
+    from lsh_spark.plans.checkpoint import CheckpointStore
+
+    tr = load_transcripts(spark, SF_DIR)
+    docs = conversation_docs(tr).select("doc_id", "text")
+    root = "/tmp/lsh-bench-search"
+    shutil.rmtree(root, ignore_errors=True)
+    store = CheckpointStore(root)
+
+    def build():
+        hashes = doc_shingle_hashes_arrow(docs, CFG)
+        store.write(hashes, "shingle_hashes")
+        sigs = minhash.minhash_signatures(
+            store.read(spark, "shingle_hashes"), CFG)
+        store.write_bucketed(lsh_bands.band_buckets(sigs, CFG),
+                             "band_buckets")
+    index_sec = _timed(build)
+    bands = store.read_bucketed(spark, "band_buckets")
+    hashes = store.read(spark, "shingle_hashes")
+    # deterministic probe set: 5 docs picked by hash order (collect of
+    # five ids — not a hot path)
+    probe_ids = [r["doc_id"] for r in docs.select("doc_id")
+                 .orderBy(F.xxhash64("doc_id")).limit(5).collect()]
+    lat, hits = [], []
+    for pid in probe_ids:
+        t0 = time.time()
+        hits.append(search_probe(bands, hashes, pid, CFG).count())
+        lat.append(round(time.time() - t0, 3))
+    out = {"index_build_sec": index_sec, "probes": len(probe_ids),
+           "probe_sec_raw": lat,
+           "probe_sec_median": round(statistics.median(lat), 3),
+           "probe_hits": hits}
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_pipeline_once(cores: int, transcripts_path: str | None = None,
                       local_dir: str | None = None,
                       shuffle_partitions: int | None = None) -> float:
@@ -258,6 +304,14 @@ def main():
         finally:
             spark.stop()
 
+    search = None
+    if os.environ.get("LSH_BENCH_SKIP_SEARCH") != "1":
+        spark = get_spark("bench_search", cores=CORES)
+        try:
+            search = run_search_probe(spark)
+        finally:
+            spark.stop()
+
     result = {
         "metric": "dedup_pipeline_wall_sec",
         "unit": "sec",
@@ -272,6 +326,8 @@ def main():
         result["queries_turn_granularity"] = turn_timings
     if incr is not None:
         result["incremental"] = incr
+    if search is not None:
+        result["search"] = search
 
     # host CPU-steal makes single runs vary ±2-3×; min over a couple of
     # reps is the standard least-stolen estimator (raw reps recorded)
