@@ -271,8 +271,10 @@ def main():
                  "min-aggregated (least-stolen estimator, "
                  "BENCH/BASELINE.md); all raw observations recorded."),
     }
+    out_name = os.environ.get("LSH_STANDALONE_OUT",
+                              "scaling_standalone.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "scaling_standalone.json"), "w") as f:
+                           out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -439,6 +439,25 @@ def main():
         }
     except (OSError, KeyError, ValueError):
         pass
+    # the committed MULTI-JVM evidence (BENCH/scaling_standalone.py):
+    # the same cascade across real executor-process boundaries on a
+    # standalone master, worker JVMs taskset-pinned to fixed vCPU
+    # blocks — the closest in-sandbox analog of adding cluster nodes
+    sa_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "scaling_standalone.json")
+    try:
+        with open(sa_path) as f:
+            sa = json.load(f)
+        result["scaling_standalone_recorded"] = {
+            "source": "BENCH/scaling_standalone.json (committed "
+                      "multi-JVM run, not re-measured in this invocation)",
+            "tier": sa["tier"], "turns": sa["turns"], "reps": sa["reps"],
+            "pinning": sa.get("pinning"),
+            "pairs": sa.get("pairs"),
+            "efficiency": sa.get("efficiency"),
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps(result))
 
 
