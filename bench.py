@@ -458,6 +458,24 @@ def main():
         }
     except (OSError, KeyError, ValueError):
         pass
+    # the committed xxl-tier pinned gate run (serial term <6% of the N
+    # wall — the closest measurable point to the 10^12-turn design
+    # regime): BENCH/scaling_standalone_xxl.json
+    xxl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH", "scaling_standalone_xxl.json")
+    try:
+        with open(xxl_path) as f:
+            xxl = json.load(f)
+        result["scaling_standalone_xxl_recorded"] = {
+            "source": "BENCH/scaling_standalone_xxl.json (committed "
+                      "pinned multi-JVM gate run at 16.4M turns)",
+            "turns": xxl["turns"], "reps": xxl["reps"],
+            "pairs": xxl.get("pairs"),
+            "efficiency": xxl.get("efficiency"),
+            "turns_per_sec_4n": xxl.get("turns_per_sec_4n"),
+        }
+    except (OSError, KeyError, ValueError):
+        pass
     print(json.dumps(result))
 
 

@@ -79,25 +79,26 @@ def simhash_docs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def simhash_docs_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Same contract via a NumPy kernel, with the per-doc Python loop
-    removed from the hot path (the shape minhash.py already has):
+    """Same contract via a NumPy kernel with the two per-doc hot costs
+    hoisted to batch level:
 
      * tokens are interned ONCE per batch (dict intern), so the md5
        token hash runs once per batch-global UNIQUE token instead of
        once per (doc, unique-token) — tokens repeat massively across
-       docs, measured ~20-40× fewer hash calls at sf0.1;
-     * per-doc weighted sign sums become one ``np.add.reduceat``
-       segment-sum over the concatenated token-instance sign rows
-       (Σ_uniq count·sign ≡ Σ_instances sign — identical integer math,
-       so outputs are bitwise-unchanged vs the per-doc form);
-     * the (tokens × bits) sign temp is bounded by processing docs in
-       token-count-capped groups.
+       docs (measured 234× fewer hash calls on sf0.1-shaped batches),
+       and the per-doc ``np.unique`` sort disappears with it;
+     * the per-doc sign sum runs over token INSTANCES via the shared
+       sign table (Σ_instances sign ≡ Σ_uniq count·sign — identical
+       integer math, bitwise-unchanged outputs) with a cache-sized
+       (doc_tokens × B) temp per doc. A batch-wide ``np.add.reduceat``
+       over all instances was tried and reverted: its
+       (total_tokens × B) temp made 32 concurrent Python workers
+       aggregate-memory-bandwidth bound.
     """
     bits = cfg.simhash_bits
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         shifts = np.arange(bits, dtype=np.int64)
-        cap = 1 << 18  # tokens per reduceat group → ≤ ~126 MB sign temp
         for batch in batches:
             doc_ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
@@ -105,33 +106,26 @@ def simhash_docs_arrow(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             toks = [py_tokens(t) for t in texts]
             lengths = np.fromiter((len(t) for t in toks), np.int64, n)
             out = np.zeros(n, dtype=np.int64)
-            total = int(lengths.sum())
-            if total:
+            if int(lengths.sum()):
                 intern: dict[str, int] = {}
                 inv = np.fromiter(
                     (intern.setdefault(t, len(intern))
                      for ts in toks for t in ts),
-                    np.int64, total)
+                    np.int64, int(lengths.sum()))
                 h_uniq = np_hash60(list(intern))
                 signs_uniq = ((((h_uniq[:, None] >> shifts[None, :]) & 1)
                                << 1) - 1).astype(np.int64)  # (n_uniq, B)
                 offs = np.concatenate(([0], np.cumsum(lengths)))
-                d0 = 0
-                while d0 < n:
-                    d1 = d0 + 1
-                    while d1 < n and offs[d1 + 1] - offs[d0] <= cap:
-                        d1 += 1
-                    seg = inv[offs[d0]:offs[d1]]
-                    keep = lengths[d0:d1] > 0
-                    if keep.any():
-                        starts = (offs[d0:d1] - offs[d0])[keep]
-                        # empty docs occupy zero rows, so consecutive kept
-                        # starts delimit exactly the right segments
-                        s = np.add.reduceat(signs_uniq[seg], starts, axis=0)
-                        out[np.nonzero(keep)[0] + d0] = (
-                            (s > 0).astype(np.int64) << shifts[None, :]
-                        ).sum(axis=1)
-                    d0 = d1
+                # per-doc summation stays — the (doc_tokens × B) temp fits
+                # in cache; a batch-wide reduceat over (total_tokens × B)
+                # was measurably SLOWER under 32 concurrent Python workers
+                # (aggregate memory-bandwidth bound). Σ_instances sign ≡
+                # Σ_uniq count·sign, so values are unchanged.
+                for i in range(n):
+                    if lengths[i]:
+                        s = signs_uniq[inv[offs[i]:offs[i + 1]]].sum(axis=0)
+                        out[i] = int(((s > 0).astype(np.int64)
+                                      << shifts).sum())
             yield pa.RecordBatch.from_arrays(
                 [pa.array(doc_ids, pa.string()), pa.array(out, pa.int64())],
                 names=["doc_id", "simhash"],
