@@ -88,9 +88,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
     else:
         pair_rows = capped_pair_rows(bands, key, cfg)
     # one agreement unit per band even if several buckets of the same band
-    # matched (cannot happen for exact hashes, but keeps Q5 semantics)
+    # matched (cannot happen for exact hashes, but keeps Q5 semantics).
+    # countDistinct fuses the old distinct + count: one exchange on
+    # (doc_a, doc_b) instead of distinct's extra full-width exchange.
     return (
-        pair_rows.select("band_id", "doc_a", "doc_b").distinct()
+        pair_rows.select("band_id", "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("int").alias("band_agreement"))
+        .agg(F.countDistinct("band_id").cast("int").alias("band_agreement"))
     )

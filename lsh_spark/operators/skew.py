@@ -89,11 +89,25 @@ def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi") \
                .select(*key_cols, id_col)
 
-    left = small.select(*key_cols, F.col(id_col).alias("doc_a"))
-    right = small.select(*key_cols, F.col(id_col).alias("doc_b"))
+    # Small-bucket expansion: ONE groupBy shuffle + in-stage positional
+    # pair generation, instead of a keyed self-join that shuffles the
+    # same rows twice (at 10^12 turns the band table ships once, not
+    # twice). Lists are bounded by ``cap`` (hot keys were split off
+    # above), so collect_list is safe. Equivalence to the join form is
+    # exact INCLUDING duplicate (key, id) rows: position pairs i<j over
+    # the value-sorted member array, with equal-value pairs dropped,
+    # produce the same (doc_a < doc_b) multiset the a<b-filtered
+    # self-join produced.
+    grouped = (small.groupBy(*key_cols)
+               .agg(F.sort_array(F.collect_list(id_col)).alias("_m"))
+               .filter(F.size("_m") >= 2))
     pairs = (
-        left.join(right, key_cols)
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(*key_cols, "_m",
+                       F.posexplode("_m").alias("_i", "doc_a"))
+        .select(*key_cols, "doc_a",
+                F.explode(F.slice(F.col("_m"), F.col("_i") + 2,
+                                  F.size("_m"))).alias("doc_b"))
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select(*key_cols, "doc_a", "doc_b")
     )
     hot_min = hot.groupBy(*key_cols).agg(F.min(id_col).alias("doc_a"))
