@@ -31,6 +31,21 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """``cosine`` with the norms supplied as precomputed columns.
+
+    Arithmetic is identical to ``cosine`` (same expressions, same
+    left-to-right fold, same norm_a*norm_b product order), so results are
+    bitwise equal — but in a join the per-row norms are computed ONCE per
+    input row instead of once per PAIR: the higher-order aggregate lambdas
+    are interpreted (not codegen'd), so evaluating one dot per pair
+    instead of three cuts the pair-scoring expression work ~3×
+    (guide §1.2 step 2 — per-task work, after the join shape is right)."""
+    d = norm_a * norm_b
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
 def manhattan_padded(q: Column, c: Column) -> Column:
     """A5: Manhattan distance with the reference's size-equalization
     (``matching_algorithms.py:137-151``): the query is zero-padded or

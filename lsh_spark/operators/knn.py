@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame, Window, functions as F
 
-from lsh_spark.functions.vectors import cosine
+from lsh_spark.functions.vectors import cosine, cosine_with_norms, norm
 
 ANN_SEED = 20240101
 
@@ -35,11 +35,17 @@ def knn_bruteforce(corpus: DataFrame, probes: DataFrame, k: int = 5,
     Output: (query_id, neighbor_id, cos_sim double, rank int).
     Ties broken by neighbor_id for determinism.
     """
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms hoisted out of the pair loop: computed once per probe / corpus
+    # row instead of once per (probe, corpus) PAIR — cosine_with_norms is
+    # arithmetic-identical, so scores are bitwise unchanged
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                      norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("cn"))
     scored = (
         c.join(F.broadcast(p), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", F.round(cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -107,11 +113,14 @@ def ann_hyperplane(corpus: DataFrame, probes: DataFrame, k: int = 5,
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                      norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("cn"))
     scored = (
         cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", F.round(cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -192,11 +201,14 @@ def ann_hyperplane_portable(corpus: DataFrame, probes: DataFrame, k: int = 5,
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                      norm(F.col(vec_col)).alias("qn"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("cn"))
     scored = (
         cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", F.round(cosine_with_norms(
+            F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -258,14 +270,23 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """(id, list_id): nearest centroid by cosine, broadcast argmax —
     JVM-side, one pass, no shuffle of the corpus."""
+    # centroid norms precomputed into the broadcast structs and the vector
+    # norm hoisted to one column per row: the argmax lambda then evaluates
+    # ONE dot per (row, centroid) instead of three aggregate folds —
+    # same expressions and product order, bitwise-identical sims
     c = centroids.select(
-        F.array_agg(F.struct("list_id", "centroid")).alias("cents"))
-    scored = vectors.crossJoin(F.broadcast(c)).select(
+        F.array_agg(F.struct("list_id", "centroid",
+                             norm(F.col("centroid")).alias("cnorm"))
+                    ).alias("cents"))
+    scored = vectors.withColumn("_vn", norm(F.col(vec_col))) \
+        .crossJoin(F.broadcast(c)).select(
         F.col(id_col).alias("vec_id"),
         F.array_max(F.transform(
             "cents",
             lambda s: F.struct(
-                F.round(cosine(F.col(vec_col), s["centroid"]), 6).alias("sim"),
+                F.round(cosine_with_norms(F.col(vec_col), s["centroid"],
+                                          F.col("_vn"), s["cnorm"]), 6)
+                 .alias("sim"),
                 (-s["list_id"]).alias("neg_id"))
         )).alias("best"))
     return scored.select(
@@ -286,7 +307,8 @@ def ann_ivf(corpus: DataFrame, probes: DataFrame, k: int = 5,
     cents = ivf_centroids(corpus, n_lists, id_col=id_col, vec_col=vec_col)
     corpus_lists = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
     # per-probe: n_probe nearest centroids (rank over the tiny centroid set)
-    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    p = probes.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+                      norm(F.col(vec_col)).alias("qn"))
     pc = (p.crossJoin(F.broadcast(cents))
           .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centroid")), 6)))
     wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("list_id"))
@@ -297,9 +319,11 @@ def ann_ivf(corpus: DataFrame, probes: DataFrame, k: int = 5,
             .filter(F.col("query_id") != F.col("vec_id"))
             .select("query_id", F.col("vec_id").alias("neighbor_id"))
             .distinct())
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+                      norm(F.col(vec_col)).alias("cn"))
     scored = (cand.join(F.broadcast(p), "query_id").join(c, "neighbor_id")
-              .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+              .withColumn("cos_sim", F.round(cosine_with_norms(
+                  F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -331,11 +355,14 @@ def _verify_bucket_pairs(vectors: DataFrame, buckets: DataFrame,
             .select(F.col("doc_a").alias("id_a"),
                     F.col("doc_b").alias("id_b"))
             .distinct())
-    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                        norm(F.col(vec_col)).alias("na"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                        norm(F.col(vec_col)).alias("nb"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos_sim", F.round(cosine_with_norms(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -87,12 +87,14 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
         pair_rows = all_pair_rows(bands, key)
     else:
         pair_rows = capped_pair_rows(bands, key, cfg)
-    # one agreement unit per band even if several buckets of the same band
-    # matched (cannot happen for exact hashes, but keeps Q5 semantics).
-    # countDistinct fuses the old distinct + count: one exchange on
-    # (doc_a, doc_b) instead of distinct's extra full-width exchange.
+    # one agreement unit per band: (band_id, doc_a, doc_b) rows are unique
+    # by construction — a doc sits in exactly ONE bucket per band (one sig
+    # row per doc), and a bucket is either expanded or star-linked, never
+    # both — so count(*) ≡ countDistinct(band_id). countDistinct planned as
+    # TWO exchanges (partial dedup on (a,b,band) + final count on (a,b));
+    # the plain count partial-aggregates map-side into ONE exchange.
     return (
-        pair_rows.select("band_id", "doc_a", "doc_b")
+        pair_rows.select("doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("band_id").cast("int").alias("band_agreement"))
+        .agg(F.count("*").cast("int").alias("band_agreement"))
     )

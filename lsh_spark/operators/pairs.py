@@ -23,11 +23,23 @@ from lsh_spark.operators.shingle import explode_shingles
 
 
 def verify_pairs(pairs: DataFrame, doc_hashes: DataFrame,
-                 cfg: DedupConfig) -> DataFrame:
+                 cfg: DedupConfig,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Attach exact Jaccard to candidate pairs; keep those ≥ threshold.
 
-    Output: (doc_a, doc_b, band_agreement, inter, union, jaccard).
-    """
+    Output: (doc_a, doc_b, band_agreement, inter, union, jaccard
+    [, *extra_cols]). ``extra_cols`` name additional ``pairs`` columns to
+    carry through unchanged — callers that previously re-joined the
+    candidate frame afterwards just to recover a column (match_kind in
+    the incremental path) can ride it through instead of re-computing
+    candidate generation for the join."""
+    # materialize the candidate list once: it is consumed THREE times below
+    # (cand_docs doc_a + doc_b legs, and the scored join) and candidate
+    # generation is itself a multi-shuffle aggregation — without the
+    # checkpoint Catalyst re-executes that whole subtree per consumer
+    # (measured: the bench verify plan held 64 copies of the band scan and
+    # 172 HashAggregates; ~4x the candidate-generation work)
+    pairs = pairs.localCheckpoint()
     # semi-join prefilter: only docs that appear in a candidate pair need
     # their (large) shingle arrays shuffled — after LSH pruning that is a
     # small fraction of the corpus, so this cuts the verify shuffle volume
@@ -50,7 +62,8 @@ def verify_pairs(pairs: DataFrame, doc_hashes: DataFrame,
     )
     return (
         scored.filter(F.col("jaccard") >= cfg.jaccard_threshold)
-        .select("doc_a", "doc_b", "band_agreement", "inter", "union", "jaccard")
+        .select("doc_a", "doc_b", "band_agreement", "inter", "union",
+                "jaccard", *extra_cols)
     )
 
 

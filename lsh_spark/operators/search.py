@@ -35,10 +35,32 @@ def search_probe(bands: DataFrame, doc_hashes: DataFrame, probe_id: str,
     ``doc_hashes``: (doc_id, hashes) — for exact Jaccard verification.
     Output: (neighbor_id, band_agreement int, jaccard double, rank int).
     """
-    probe_bands = (bands.filter(F.col("doc_id") == probe_id)
-                   .select("band_id", "band_hash").distinct())
+    # One probe owns <= num_bands index rows — the reference's dict lookup
+    # (``lsh.py:272-317``) is O(1) per band, and the relational analog is a
+    # LITERAL pushed-down predicate, not a join: collect the probe's band
+    # keys (<= num_bands tiny rows, the same bytes the old broadcast
+    # shipped through the driver anyway) and filter the index scan with
+    # band_hash IN (...) plus the exact (band_id, band_hash) disjunction.
+    # Against the BUCKETED band table (plans/checkpoint.py, bucketed on
+    # band_hash) the IN list additionally prunes bucket files, so a probe
+    # reads ~probe-bands/n_buckets of the index instead of scanning and
+    # shuffling all of it (guide §6 — make pushdown reach the scan;
+    # asserted in tests/test_plans.py).
+    probe_rows = (bands.filter(F.col("doc_id") == probe_id)
+                  .select("band_id", "band_hash").distinct().collect())
+    if probe_rows:
+        in_hashes = F.col("band_hash").isin(
+            [r["band_hash"] for r in probe_rows])
+        exact = None
+        for r in probe_rows:
+            term = ((F.col("band_id") == r["band_id"])
+                    & (F.col("band_hash") == r["band_hash"]))
+            exact = term if exact is None else (exact | term)
+        probe_pred = in_hashes & exact
+    else:
+        probe_pred = F.lit(False)
     hits = (
-        bands.join(F.broadcast(probe_bands), ["band_id", "band_hash"])
+        bands.filter(probe_pred)
         .filter(F.col("doc_id") != probe_id)
         .select("band_id", "doc_id").distinct()
         .groupBy("doc_id")
@@ -51,7 +73,9 @@ def search_probe(bands: DataFrame, doc_hashes: DataFrame, probe_id: str,
     probe_set = (doc_hashes.filter(F.col("doc_id") == probe_id)
                  .select(F.col("hashes").alias("h_p")))
     scored = (
-        hits.join(doc_hashes, "doc_id")
+        # hits is candidate-sized (≪ corpus) — broadcast it so the
+        # doc_hashes side is probed in place and never shuffles
+        F.broadcast(hits).join(doc_hashes, "doc_id")
         .crossJoin(F.broadcast(probe_set))
         .withColumn("inter", F.size(F.array_intersect("hashes", "h_p")))
         .withColumn("union",

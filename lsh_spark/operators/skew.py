@@ -43,21 +43,24 @@ from lsh_spark.config import DedupConfig
 
 def bucket_census(keyed: DataFrame, key_cols: list[str],
                   cfg: DedupConfig, id_col: str = "doc_id") -> DataFrame:
-    """(key..., bucket_size) via two-phase salted groupBy.
+    """(key..., bucket_size) via one partially-aggregated groupBy.
 
-    Spark's hash aggregate already map-side-combines; the explicit salt
-    additionally randomizes the reduce-side key so one hot key's partials
-    merge on ``salt_buckets`` reducers instead of serializing on one task.
+    Skew note (round 6): this was a two-phase SALTED aggregation through
+    round 5; for a pure count that salt is redundant — Spark's hash
+    aggregate always partial-aggregates map-side, so each map task emits
+    at most ONE row per key and a mega-hot key's reduce fan-in is already
+    bounded by the map-task count, which is exactly the bound the salt
+    provided. The explicit (key, salt) phase only added a second full
+    aggregation pass + exchange over a table with ~one row per (doc, key)
+    (measured: the census job was 3.2 s vs the SimHash kernel's 2.2 s at
+    sf0.1 — guide §2.3 "aggregate before you shuffle" is automatic here).
+    Salting remains necessary only for aggregations whose per-key state
+    grows with the group (collect_list et al.), which the census is not.
     """
-    salt = F.pmod(F.xxhash64(id_col), F.lit(cfg.salt_buckets)).alias("__salt")
-    partial = (
-        keyed.select(*key_cols, salt)
-        .groupBy(*key_cols, "__salt")
-        .agg(F.count("*").alias("__c"))
-    )
     return (
-        partial.groupBy(*key_cols)
-        .agg(F.sum("__c").cast("long").alias("bucket_size"))
+        keyed.select(*key_cols)
+        .groupBy(*key_cols)
+        .agg(F.count("*").cast("long").alias("bucket_size"))
     )
 
 
@@ -81,9 +84,17 @@ def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     backstop for the pair self-join (session.py).
     """
     cap = cap if cap is not None else cfg.hot_bucket_cap
+    # materialize the hot-key set once: it is broadcast into FOUR joins
+    # below (small anti, hot semi feeding both hot_min and star) and
+    # without the checkpoint each broadcast build re-runs the whole census
+    # aggregation over the keyed table (measured: the bench simhash plan
+    # re-computed the census per consumer). The set is tiny by design
+    # (boilerplate keys only), so this is a sub-second job that removes
+    # up to 3 redundant full-table aggregations.
     hot_keys = (bucket_census(keyed, key_cols, cfg, id_col=id_col)
                 .filter(F.col("bucket_size") > cap)
-                .select(*key_cols))
+                .select(*key_cols)
+                .localCheckpoint())
     small = keyed.join(F.broadcast(hot_keys), key_cols, "left_anti") \
                  .select(*key_cols, id_col)
     hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi") \

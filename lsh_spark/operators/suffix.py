@@ -73,7 +73,12 @@ def substring_candidate_pairs(docs: DataFrame, cfg: DedupConfig,
     """
     if sample_mod:
         from lsh_spark.operators.shingle import gram_hashes_fast
+        # checkpoint the ARRAY form (compact) before exploding: the capped
+        # pair path consumes the keyed frame three times (census + small +
+        # hot membership) and would otherwise re-run the Arrow
+        # tokenize+hash kernel per consumer; the explode stays narrow.
         g = (gram_hashes_fast(docs, cfg.substring_k, 1, sample_mod=sample_mod)
+             .localCheckpoint()
              .select("doc_id", F.explode("hashes").alias("gram_hash")))
     else:
         g = _gram_hashes(docs, cfg.substring_k, cfg.hash_mode)

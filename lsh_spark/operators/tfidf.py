@@ -46,12 +46,38 @@ def _n_docs(docs: DataFrame) -> DataFrame:
     return docs.select(F.countDistinct("doc_id").alias("nd"))
 
 
+def _counts_with_len(docs: DataFrame,
+                     counts: DataFrame | None) -> DataFrame:
+    """(doc_id, token, n, len) — the single-scan base frame.
+
+    When ``counts`` is derived here (the default), ``len`` (= doc token
+    count = size(tokens) ≡ Σn) is computed NARROWLY on the docs scan and
+    carried THROUGH the (doc, token) aggregation as a grouping key — it is
+    functionally dependent on doc_id, so the groups are unchanged and the
+    old counts→lens self-join disappears: round 5 re-aggregated counts by
+    doc_id and joined it back, which re-exchanged the whole counts frame
+    on doc_id (guide §2.4 — two operations keyed the same way share one
+    exchange; measured: 2 Exchanges + 1 aggregation removed from the
+    tfidf plan). An explicitly passed ``counts`` keeps the old
+    re-aggregation contract (lens defined by the given counts)."""
+    if counts is None:
+        # stage the token array as a plain column first so the split()
+        # tokenization runs ONCE per doc; size() and explode() then read
+        # the same materialized array (round-2 invariant: tokenize once)
+        return (docs.select("doc_id", tokens_col(F.col("text")).alias("_t"))
+                .select("doc_id", F.size("_t").cast("long").alias("len"),
+                        F.explode("_t").alias("token"))
+                .groupBy("doc_id", "len", "token")
+                .agg(F.count("*").alias("n"))
+                .select("doc_id", "token", "n", "len"))
+    lens = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
+    return counts.join(lens, "doc_id").select("doc_id", "token", "n", "len")
+
+
 def tf(docs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     """(doc_id, token, tf) — term frequency = count/len(doc).
     Reference ``song_tfidf_calculation.py:98``."""
-    counts = counts if counts is not None else doc_token_counts(docs)
-    lens = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
-    return counts.join(lens, "doc_id").select(
+    return _counts_with_len(docs, counts).select(
         "doc_id", "token", (F.col("n") / F.col("len")).alias("tf"))
 
 
@@ -68,13 +94,20 @@ def idf(docs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
 def tfidf_with_counts(docs: DataFrame,
                       counts: DataFrame | None = None) -> DataFrame:
     """(doc_id, token, n, len, tfidf) — single-scan TF-IDF: one explode,
-    one (doc, token) shuffle; lens and df are re-aggregations of the same
-    counts frame, never of the corpus."""
-    counts = counts if counts is not None else doc_token_counts(docs)
-    lens = counts.groupBy("doc_id").agg(F.sum("n").alias("len"))
-    df_tok = counts.groupBy("token").agg(F.count("*").alias("df"))
+    one (doc, token) shuffle with len carried as a dependent grouping key
+    (no lens self-join); df is a re-aggregation of the same base frame,
+    never of the corpus."""
+    # materialize the base frame once: df_tok and the final join both
+    # consume it, and column pruning gives the two consumers DIFFERENT
+    # aggregate subtrees (the df side prunes ``n``), so exchange reuse
+    # never fires and the tokenize+explode+aggregate ran twice
+    # (measured: two full 1.4M-group aggregation chains in the sf0.1
+    # tfidf plan). This is the docstring's "persist when several
+    # quantities are computed" applied inside the operator.
+    base = _counts_with_len(docs, counts).localCheckpoint()
+    df_tok = base.groupBy("token").agg(F.count("*").alias("df"))
     return (
-        counts.join(lens, "doc_id")
+        base
         .join(df_tok, "token")
         .crossJoin(F.broadcast(_n_docs(docs)))
         .select("doc_id", "token", "n", "len",

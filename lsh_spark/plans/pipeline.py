@@ -161,7 +161,9 @@ def dedup_pipeline(
     edges = edge_frames[0]
     for ef in edge_frames[1:]:
         edges = edges.unionByName(ef)
-    edges = edges.distinct()
+    # no .distinct() here: both CC variants symmetrize + distinct their
+    # edge input themselves, so the pre-distinct was a redundant extra
+    # full shuffle of the edge set (guide §2.4 — remove shuffles outright)
 
     # with a store, the CC loop also commits per-iteration label state
     # (cc_iter{n} stages) — a killed run resumes label propagation itself.
@@ -188,7 +190,9 @@ def dedup_keep_list(labels: DataFrame, docs: DataFrame) -> DataFrame:
 
 def incremental_dedup_flags(new_docs: DataFrame, index_bands: DataFrame,
                             index_hashes: DataFrame,
-                            cfg: DedupConfig) -> DataFrame:
+                            cfg: DedupConfig,
+                            new_hashes: DataFrame | None = None,
+                            new_bands: DataFrame | None = None) -> DataFrame:
     """Dedup a NEW batch against an existing band index — the steady-state
     ingest operation at 10^12 turns: the corpus is NEVER re-clustered per
     delta; new docs probe the checkpointed ``(band_id, band_hash, doc_id)``
@@ -208,21 +212,31 @@ def incremental_dedup_flags(new_docs: DataFrame, index_bands: DataFrame,
     from lsh_spark.operators.shingle import doc_shingle_hashes_arrow
     from lsh_spark.operators.skew import bucket_census
 
-    new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
-    new_sigs = minhash.minhash_signatures(new_hashes, cfg)
-    new_bands = lsh_bands.band_buckets(new_sigs, cfg)
+    if new_hashes is None:
+        # two consumers below (signatures + the verify hash union): without
+        # the checkpoint the Arrow tokenize+hash kernel runs once per
+        # consumer. Callers that already materialized the delta's hashes
+        # (incremental_dedup's fold-in) pass them in instead.
+        new_hashes = doc_shingle_hashes_arrow(new_docs, cfg).localCheckpoint()
+    if new_bands is None:
+        new_bands = lsh_bands.band_buckets(
+            minhash.minhash_signatures(new_hashes, cfg), cfg)
 
-    census = bucket_census(index_bands, ["band_id", "band_hash"], cfg)
+    # hot-key set materialized once (tiny by design): it is broadcast into
+    # BOTH the reps semi-join and the cold anti-join — without the
+    # checkpoint each broadcast build re-runs the full index census
+    hot_keys = (bucket_census(index_bands, ["band_id", "band_hash"], cfg)
+                .filter(F.col("bucket_size") > cfg.hot_bucket_cap)
+                .select("band_id", "band_hash")
+                .localCheckpoint())
     reps = (index_bands
-            .join(F.broadcast(census.filter(
-                F.col("bucket_size") > cfg.hot_bucket_cap)),
-                ["band_id", "band_hash"], "left_semi")
+            .join(F.broadcast(hot_keys), ["band_id", "band_hash"],
+                  "left_semi")
             .groupBy("band_id", "band_hash")
             .agg(F.min("doc_id").alias("doc_id")))
     cold = (index_bands
-            .join(F.broadcast(census.filter(
-                F.col("bucket_size") > cfg.hot_bucket_cap)),
-                ["band_id", "band_hash"], "left_anti"))
+            .join(F.broadcast(hot_keys), ["band_id", "band_hash"],
+                  "left_anti"))
     probe_side = cold.unionByName(reps).withColumnRenamed("doc_id", "doc_b")
 
     vs_index = (
@@ -237,12 +251,15 @@ def incremental_dedup_flags(new_docs: DataFrame, index_bands: DataFrame,
     cand = vs_index.unionByName(vs_batch)
 
     all_hashes = index_hashes.unionByName(new_hashes)
+    # match_kind rides through the verifier (extra_cols) — round 5
+    # re-joined the candidate frame afterwards just to recover it, which
+    # re-ran candidate generation a second time
     verified = pairs.verify_pairs(
-        cand.select("doc_a", "doc_b", "band_agreement"), all_hashes, cfg)
-    return verified.join(
-        cand.select("doc_a", "doc_b", "match_kind"), ["doc_a", "doc_b"]
-    ).select("doc_a", "doc_b", "band_agreement",
-             F.round("jaccard", 6).alias("jaccard"), "match_kind")
+        cand.select("doc_a", "doc_b", "band_agreement", "match_kind"),
+        all_hashes, cfg, extra_cols=("match_kind",))
+    return verified.select(
+        "doc_a", "doc_b", "band_agreement",
+        F.round("jaccard", 6).alias("jaccard"), "match_kind")
 
 
 def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
@@ -285,12 +302,17 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
     else:
         index_bands = store.read(spark, bands_stage)
         index_hashes = store.read(spark, hashes_stage)
-    flags = incremental_dedup_flags(new_docs, index_bands, index_hashes, cfg)
+    # the delta's hashes/bands are needed TWICE (probe flags + index
+    # fold-in): compute them once, checkpointed — round 5 re-ran the
+    # Arrow tokenize+hash kernel and the signature kernel per use
+    new_hashes = doc_shingle_hashes_arrow(new_docs, cfg).localCheckpoint()
+    new_bands = lsh_bands.band_buckets(
+        minhash.minhash_signatures(new_hashes, cfg), cfg).localCheckpoint()
+    flags = incremental_dedup_flags(new_docs, index_bands, index_hashes, cfg,
+                                    new_hashes=new_hashes,
+                                    new_bands=new_bands)
     if update_index:
         flags = flags.localCheckpoint()  # materialize before index mutation
-        new_hashes = doc_shingle_hashes_arrow(new_docs, cfg)
-        new_bands = lsh_bands.band_buckets(
-            minhash.minhash_signatures(new_hashes, cfg), cfg)
         if bucketed:
             store.append_bucketed(new_hashes, hashes_stage,
                                   ("doc_id",), n_buckets)

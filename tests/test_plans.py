@@ -92,15 +92,19 @@ def test_tfidf_no_explode_with_precomputed_counts(spark):
         assert "Generate" not in plan_of(df)
 
 
-def test_tfidf_lazy_path_reuses_explode_exchange(spark):
-    """Without explicit persistence, Spark's ReuseExchange must dedupe the
-    shared counts subtree at runtime (final AQE plan) — the explode+shuffle
-    is not re-executed once per derived quantity."""
+def test_tfidf_explode_executes_once(spark):
+    """The tokenize+explode+aggregate base frame must not re-execute once
+    per derived quantity. Round 5 relied on runtime ReuseExchange, which
+    silently stopped firing when column pruning diverged the df-side and
+    join-side subtrees (measured: two full aggregation chains at sf0.1);
+    round 6 materializes the base frame once, so the final plan contains
+    NO Generate at all — both consumers read the checkpointed base."""
     docs = spark.createDataFrame([("a", "x y z"), ("b", "x q")],
                                  "doc_id string, text string")
     df = tfidf.tfidf_with_counts(docs)
     df.collect()
-    assert "ReusedExchange" in plan_of(df)
+    assert plan_of(df).count("Generate") == 0
+    assert "Scan ExistingRDD" in plan_of(df)
 
 
 def test_capped_pairs_hot_split_is_broadcast(spark):
