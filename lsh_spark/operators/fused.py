@@ -44,21 +44,10 @@ from pyspark.sql import DataFrame
 from lsh_spark.config import DedupConfig
 from lsh_spark.functions.hashing import M, minhash_params
 from lsh_spark.functions.text import py_tokens
-from lsh_spark.operators.shingle import _HORNER_MULT, _MASK60, _token_hashes
+from lsh_spark.operators.shingle import _MASK60, _token_hashes, rolling_raw
 
 FUSED_SCHEMA = ("doc_id string, hashes array<bigint>, sig array<bigint>, "
                 "simhash bigint, grams array<bigint>")
-
-
-def _rolling(seg: np.ndarray, k: int) -> np.ndarray:
-    """Distinct k-gram Horner hashes of one token-hash segment (uint64)."""
-    m = len(seg) - k + 1
-    if m <= 0:
-        return np.empty(0, np.uint64)
-    gh = np.zeros(m, np.uint64)
-    for j in range(k):
-        gh = gh * _HORNER_MULT + seg[j:j + m]
-    return gh & _MASK60
 
 
 def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -70,12 +59,22 @@ def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     n_perms = cfg.num_perms
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        shifts = np.arange(bits, dtype=np.uint64)
+        shifts = np.arange(bits, dtype=np.int64)
         for batch in batches:
             doc_ids = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
             tok_lists = [py_tokens(t) for t in texts]
-            th, lens = _token_hashes(tok_lists)
+            th, lens, codes, vocab_h = _token_hashes(tok_lists)
+            # vocab-sized int8 sign table, built once per batch: the
+            # per-doc SimHash becomes a gather+sum over token INSTANCES
+            # (Σ_instances sign ≡ Σ_uniq count·sign — same integer math,
+            # bitwise-identical outputs) instead of a per-doc np.unique
+            # sort + (n_uniq × B) int64 product; int8 moves 8× fewer
+            # bytes through the cache, the binding resource under 32
+            # concurrent workers (same kernel shape as operators/simhash).
+            signs_uniq = ((((vocab_h[:, None].astype(np.int64)
+                             >> shifts[None, :]) & 1) << 1) - 1
+                          ).astype(np.int8) if len(vocab_h) else None
 
             shingle_out: list[np.ndarray] = []
             gram_out: list[np.ndarray] = []
@@ -87,12 +86,17 @@ def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             for i, n in enumerate(lens):
                 seg = th[pos:pos + n]
                 pos += n
-                # shingles (k) — distinct
-                sh = np.unique(_rolling(seg, k)) if n >= k else np.empty(0, np.uint64)
+                # k=5 shingles and k=20 grams share one rolling-hash memo:
+                # the gram hash is COMPOSED from the shingle-width hashes
+                # (binary composition, shingle.rolling_raw) instead of
+                # re-running a 20-step Horner loop per doc
+                memo: dict = {}
+                sh = (np.unique(rolling_raw(seg, k, memo) & _MASK60)
+                      if n >= k else np.empty(0, np.uint64))
                 shingle_out.append(sh.astype(np.int64))
                 # substring grams (gk), sampled content-defined
                 if n >= gk:
-                    g = _rolling(seg, gk)
+                    g = rolling_raw(seg, gk, memo) & _MASK60
                     if sample:
                         g = g[g % np.uint64(sample) == 0]
                     gram_out.append(np.unique(g).astype(np.int64))
@@ -106,13 +110,12 @@ def fused_doc_features(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                     sig_valid.append(True)
                 else:
                     sig_valid.append(False)
-                # simhash over token frequencies
+                # simhash over token instances (see sign-table note above)
                 if n:
-                    uniq, counts = np.unique(seg, return_counts=True)
-                    signs = (((uniq[:, None] >> shifts[None, :]) & np.uint64(1))
-                             .astype(np.int64) * 2 - 1)
-                    s = (signs * counts[:, None]).sum(axis=0)
-                    simhashes[i] = int(((s > 0).astype(np.uint64) << shifts).sum())
+                    s = signs_uniq[codes[pos - n:pos]].sum(
+                        axis=0, dtype=np.int64)
+                    simhashes[i] = int(((s > 0).astype(np.int64)
+                                        << shifts).sum())
 
             def list_col(arrs):
                 offsets = np.zeros(len(arrs) + 1, np.int64)

@@ -48,10 +48,19 @@ def band_buckets(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
         return sigs.select(
             F.posexplode("sig").alias("band_id", "band_hash"), "doc_id"
         ).select(F.col("band_id").cast("int"), "band_hash", "doc_id")
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(b - 1)),
-        lambda i: F.xxhash64(F.array_join(F.slice(F.col("sig"), i * r + 1, r), ",")),
-    )
+    # r>1 (scale mode only — every oracle config pins r=1, where the band
+    # hash IS the signature value): hash the r-slice DIRECTLY with the
+    # multi-column xxhash64 instead of round 5's
+    # xxhash64(array_join(slice(sig,...), ",")) — same collision
+    # structure (two docs share a band key iff their r values are equal,
+    # modulo ~2^-64 hash collisions either way), but no per-band string
+    # materialization: the band table is re-derived per census/membership
+    # consumer, so the string build+hash was paid 3× per pass
+    # (guide §1.2 step 2 — per-task work).
+    bands = F.array(*[
+        F.xxhash64(*[F.element_at("sig", i * r + j + 1) for j in range(r)])
+        for i in range(b)
+    ])
     # stage the bands array in its own Project: exploding a plain column
     # attribute keeps Generate inside whole-stage codegen, while exploding
     # the higher-order expression inline does not (verified via .explain)

@@ -88,22 +88,66 @@ def _shingle_hashes_arrow_portable(docs: DataFrame, cfg: DedupConfig) -> DataFra
 
 _HORNER_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 _MASK60 = np.uint64((1 << 60) - 1)
+_POW_C: dict[int, np.uint64] = {}
 
 
-def _token_hashes(tok_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
-    """Concatenated uint64 token hashes + per-doc lengths. Hashing touches
-    each DISTINCT token once (pandas factorize + blake2b on the vocab)."""
+def _pow_c(w: int) -> np.uint64:
+    """_HORNER_MULT ** w mod 2^64 (exact wraparound arithmetic)."""
+    p = _POW_C.get(w)
+    if p is None:
+        p = _POW_C[w] = np.uint64(
+            pow(int(_HORNER_MULT), w, 1 << 64))
+    return p
+
+
+def rolling_raw(seg: np.ndarray, k: int,
+                memo: dict[int, np.ndarray] | None = None) -> np.ndarray:
+    """UNMASKED Horner k-gram hashes of one token-hash segment.
+
+    h_i = Σ_{j<k} seg[i+j]·C^{k-1-j} (mod 2^64) — identical values to the
+    naive k-step Horner loop, but built by BINARY COMPOSITION of window
+    hashes: r_{a+b}[i] = r_a[i]·C^b + r_b[i+a], so a width-k hash costs
+    ~2·log2(k) vector ops instead of k (k=20 grams: 5 combines vs 20
+    passes — measured 3× on the gram phase). ``memo`` (width → raw hash
+    array) may be shared across calls on the SAME segment so the k=5
+    shingle pass seeds the k=20 gram pass. Callers mask with _MASK60."""
+    n = len(seg)
+    if n - k + 1 <= 0:
+        return np.empty(0, np.uint64)
+    memo = {1: seg} if memo is None else memo
+    memo.setdefault(1, seg)
+
+    def width(w: int) -> np.ndarray:
+        r = memo.get(w)
+        if r is None:
+            a, b = w // 2, w - w // 2
+            r = memo[w] = (width(a)[:n - w + 1] * _pow_c(b)
+                           + width(b)[a:a + n - w + 1])
+        return r
+
+    return width(k)
+
+
+def _token_hashes(
+        tok_lists: list[list[str]]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(concatenated uint64 token hashes, per-doc lengths, factorize codes,
+    vocab hashes). Hashing touches each DISTINCT token once (pandas
+    factorize + blake2b on the vocab); codes/vocab are exposed so kernels
+    can run vocab-sized work (e.g. SimHash sign tables) without a second
+    interning pass."""
     import pandas as pd
     lens = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))
     flat = [tok for lst in tok_lists for tok in lst]
     if not flat:
-        return np.empty(0, np.uint64), lens
+        e = np.empty(0, np.uint64)
+        return e, lens, np.empty(0, np.int64), e
     codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
     vocab_h = np.fromiter(
         (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
          for t in uniques),
         np.uint64, len(uniques))
-    return vocab_h[codes], lens
+    return vocab_h[codes], lens, codes, vocab_h
 
 
 def gram_hashes_fast(docs: DataFrame, k: int, stride: int = 1,
@@ -121,7 +165,7 @@ def gram_hashes_fast(docs: DataFrame, k: int, stride: int = 1,
             doc_ids = batch.column("doc_id")
             texts = batch.column("text").to_pylist()
             tok_lists = [py_tokens(t) for t in texts]
-            th, lens = _token_hashes(tok_lists)
+            th, lens, _, _ = _token_hashes(tok_lists)
             out: list[np.ndarray] = []
             pos = 0
             for n in lens:
@@ -130,11 +174,7 @@ def gram_hashes_fast(docs: DataFrame, k: int, stride: int = 1,
                 if n < k:
                     out.append(np.empty(0, np.int64))
                     continue
-                m = n - k + 1
-                gh = np.zeros(m, np.uint64)
-                for j in range(k):       # Horner: gh = gh*C + tok[j]
-                    gh = gh * _HORNER_MULT + seg[j:j + m]
-                gh &= _MASK60
+                gh = rolling_raw(seg, k) & _MASK60
                 if stride > 1:
                     gh = gh[::stride]
                 if sample_mod:

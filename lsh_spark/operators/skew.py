@@ -84,18 +84,27 @@ def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     backstop for the pair self-join (session.py).
     """
     cap = cap if cap is not None else cfg.hot_bucket_cap
-    # materialize the hot-key set once: it is broadcast into FOUR joins
-    # below (small anti, hot semi feeding both hot_min and star) and
-    # without the checkpoint each broadcast build re-runs the whole census
-    # aggregation over the keyed table (measured: the bench simhash plan
-    # re-computed the census per consumer). The set is tiny by design
-    # (boilerplate keys only), so this is a sub-second job that removes
-    # up to 3 redundant full-table aggregations.
-    hot_keys = (bucket_census(keyed, key_cols, cfg, id_col=id_col)
-                .filter(F.col("bucket_size") > cap)
-                .select(*key_cols)
-                .localCheckpoint())
-    small = keyed.join(F.broadcast(hot_keys), key_cols, "left_anti") \
+    # materialize the MULTI-MEMBER census rows once (bucket_size >= 2):
+    #  * singleton buckets — the overwhelming majority (measured 93-96%
+    #    of band/chunk/gram keys at sf0.1) — can never produce a pair,
+    #    so routing membership through a broadcast SEMI join on the
+    #    multi-member keys drops them BEFORE the collect_list exchange
+    #    (guide §2.3 — shuffle fewer bytes: the grouping shuffle now
+    #    carries ~5% of the keyed rows), where round 5 shipped every row
+    #    and filtered size>=2 only after aggregating 1M+ tiny groups;
+    #  * the checkpoint means the census aggregation runs ONCE even
+    #    though its output feeds four joins below (without it each
+    #    broadcast build re-ran the census over the full keyed table).
+    # If the multi-member key set ever outgrows the broadcast threshold
+    # Catalyst falls back to a shuffle semi-join on its own — the groupBy
+    # after it is keyed identically, so the exchange is shared, and
+    # correctness is unaffected.
+    sized = (bucket_census(keyed, key_cols, cfg, id_col=id_col)
+             .filter(F.col("bucket_size") >= 2)
+             .localCheckpoint())
+    multi_keys = sized.filter(F.col("bucket_size") <= cap).select(*key_cols)
+    hot_keys = sized.filter(F.col("bucket_size") > cap).select(*key_cols)
+    small = keyed.join(F.broadcast(multi_keys), key_cols, "left_semi") \
                  .select(*key_cols, id_col)
     hot = keyed.join(F.broadcast(hot_keys), key_cols, "left_semi") \
                .select(*key_cols, id_col)
