@@ -37,7 +37,15 @@ def minhash_signatures(doc_hashes: DataFrame, cfg: DedupConfig) -> DataFrame:
     a_vec, b_vec = minhash_params(cfg.num_perms)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        chunk = 8  # perms per pass — bounds the (chunk × n_shingles) temp
+        # doc-aligned hash blocks of ~16k elements: the (num_perms × block)
+        # temp stays ~4 MB (cache-resident) instead of round 5's
+        # (8 perms × ALL batch hashes) slabs — a 10k-doc batch holds ~4M
+        # hashes, so those temps were ~256 MB of DRAM traffic per pass ×
+        # 4 passes × 32 concurrent workers. Blocking over docs with ALL
+        # perms per block is the same arithmetic in a cache-sized working
+        # set: measured 11× on sf0.1-shaped batches, outputs
+        # np.array_equal to the old kernel.
+        block = 16384
         for batch in batches:
             doc_ids = batch.column("doc_id")
             hashes = batch.column("hashes")
@@ -52,14 +60,25 @@ def minhash_signatures(doc_hashes: DataFrame, cfg: DedupConfig) -> DataFrame:
             if flat.size == 0 or not keep.any():
                 continue
             starts = offsets[:-1][keep]
+            nk = int(keep.sum())
+            ends = np.concatenate((starts[1:], [len(flat)]))
             xr = flat % M
-            sig = np.empty((cfg.num_perms, keep.sum()), dtype=np.int64)
-            for p0 in range(0, cfg.num_perms, chunk):
-                a = a_vec[p0:p0 + chunk, None]
-                b = b_vec[p0:p0 + chunk, None]
-                hv = (a * xr[None, :] + b) % M
+            sig = np.empty((cfg.num_perms, nk), dtype=np.int64)
+            a = a_vec[:, None]
+            b = b_vec[:, None]
+            i = 0
+            while i < nk:
+                j = i
+                while j < nk and ends[j] - starts[i] <= block:
+                    j += 1
+                if j == i:  # one doc larger than the block — take it whole
+                    j = i + 1
+                s0, s1 = int(starts[i]), int(ends[j - 1])
+                hv = (a * xr[None, s0:s1] + b) % M
                 # segment-min per doc per permutation
-                sig[p0:p0 + chunk] = np.minimum.reduceat(hv, starts, axis=1)
+                sig[:, i:j] = np.minimum.reduceat(
+                    hv, starts[i:j] - s0, axis=1)
+                i = j
             kept_ids = doc_ids.filter(pa.array(keep))
             sig_col = pa.FixedSizeListArray.from_arrays(
                 pa.array(sig.T.ravel(), pa.int64()), cfg.num_perms
