@@ -95,6 +95,13 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig,
     if all_pairs:
         pair_rows = all_pair_rows(bands, key)
     else:
+        # materialize the band table once: the capped path consumes it for
+        # the census AND the membership splits, and each re-derivation
+        # decodes the full signature arrays + re-hashes every band slice
+        # (measured at turn granularity: ~4 s per derivation at 7.3M band
+        # rows — the narrow (band_id, band_hash, doc_id) rows are far
+        # cheaper to rescan than to rebuild)
+        bands = bands.localCheckpoint()
         pair_rows = capped_pair_rows(bands, key, cfg)
     # one agreement unit per band: (band_id, doc_a, doc_b) rows are unique
     # by construction — a doc sits in exactly ONE bucket per band (one sig
