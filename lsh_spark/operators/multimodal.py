@@ -122,6 +122,33 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024,
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     use_real = decode == "real"
 
+    if not use_real:
+        # The fake path is pure hashing — express it as JVM built-ins so the
+        # payload never crosses the Arrow boundary (r6, guide §4.2): sha2 on
+        # the binary column, then each uint16-LE digest word parsed out of
+        # the hex string. Bitwise-identical to _fake_features (same sha256
+        # bytes, same /65535.0 double division).
+        # Two selects on purpose: the digest is referenced 32× by the word
+        # lambdas, so CollapseProject keeps the non-cheap sha2 in its own
+        # Project and it is hashed once per row, not once per element.
+        hashed = media.select(
+            "doc_id", "media_type",
+            F.when(F.col("media").isNotNull(),
+                   F.sha2(F.col("media"), 256)).alias("_digest_hex"))
+
+        def word(i: "F.Column") -> "F.Column":
+            b0 = F.conv(F.substring(F.col("_digest_hex"), i * 4 + 1, F.lit(2)),
+                        16, 10)
+            b1 = F.conv(F.substring(F.col("_digest_hex"), i * 4 + 3, F.lit(2)),
+                        16, 10)
+            return ((b0.cast("long") + b1.cast("long") * 256).cast("double")
+                    / F.lit(65535.0))
+
+        feature = F.when(
+            F.col("_digest_hex").isNotNull(),
+            F.transform(F.sequence(F.lit(0), F.lit(FEATURE_DIM - 1)), word))
+        return hashed.select("doc_id", "media_type", feature.alias("feature"))
+
     def worker(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             feats = [

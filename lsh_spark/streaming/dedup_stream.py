@@ -51,25 +51,38 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
-def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
-    """Per-row MinHash signature as pure Column expressions (JVM codegen,
-    no Python): tokens → k-shingles → portable/xxhash 60-bit hashes →
+def _shingle_hashes_col(cfg, text_col: "F.Column") -> "F.Column":
+    """Row-local shingle-hash array: tokens → k-shingles → portable/xxhash
+    60-bit hashes, as pure Column expressions (JVM codegen, no Python)."""
+    from lsh_spark.functions.hashing import hash64
+    from lsh_spark.functions.text import distinct_shingles_col, tokens_col
+    return F.transform(
+        distinct_shingles_col(tokens_col(text_col), cfg.shingle_k,
+                              cfg.shingle_stride),
+        lambda s: hash64(s, cfg.hash_mode))
+
+
+def _sig_from_hashes(cfg, hashes: "F.Column") -> "F.Column":
+    """Per-row MinHash signature from a shingle-hash array column:
     per-permutation affine min. Row-local (no aggregation), so it is legal
     upstream of the stateful operator in a streaming plan.
+
+    ``hashes`` should be a MATERIALIZED column (its own projection), not
+    the raw ``_shingle_hashes_col`` expression: the expression sits inside
+    the per-permutation lambda, so inlining it would re-run tokenization +
+    shingling + hashing ``num_perms`` times per row (measured 8.06× slower
+    at P=8 on 50k sf0.1 turns — r6). A separate select keeps it a cheap
+    attribute read; CollapseProject leaves multi-referenced non-cheap
+    aliases alone.
 
     Docs with fewer than ``shingle_k`` tokens have NO shingles; for those
     the signature is NULL (not an array of NULL mins), mirroring the batch
     kernel's ``keep = lengths > 0`` drop (operators/minhash.py) — otherwise
     every short turn would land in one permanent NULL bucket downstream.
     """
-    from lsh_spark.functions.hashing import hash64, minhash_params
-    from lsh_spark.functions.text import distinct_shingles_col, tokens_col
+    from lsh_spark.functions.hashing import minhash_params
     a_vec, b_vec = minhash_params(cfg.num_perms)
     m = cfg.minhash_prime
-    hashes = F.transform(
-        distinct_shingles_col(tokens_col(text_col), cfg.shingle_k,
-                              cfg.shingle_stride),
-        lambda s: hash64(s, cfg.hash_mode))
     a_arr = F.array(*[F.lit(int(x)) for x in a_vec])
     b_arr = F.array(*[F.lit(int(x)) for x in b_vec])
     return F.when(
@@ -80,6 +93,13 @@ def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
                 hashes,
                 lambda h: (F.element_at(a_arr, p + 1) * (h % m)
                            + F.element_at(b_arr, p + 1)) % m))))
+
+
+def _sig_col(cfg, text_col: "F.Column") -> "F.Column":
+    """Single-expression signature (kept for API/tests). Prefer the
+    two-projection form (``_shingle_hashes_col`` select, then
+    ``_sig_from_hashes``) in query plans — see ``_sig_from_hashes``."""
+    return _sig_from_hashes(cfg, _shingle_hashes_col(cfg, text_col))
 
 
 _UNIT_MS = {
@@ -148,7 +168,10 @@ def streaming_near_dup_flags(stream: DataFrame, cfg=None,
             F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
              .alias("doc_id"),
             "ts",
-            _sig_col(cfg, F.col("text")).alias("sig"))
+            _shingle_hashes_col(cfg, F.col("text")).alias("_hashes"))
+        .select(
+            "doc_id", "ts",
+            _sig_from_hashes(cfg, F.col("_hashes")).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .select("doc_id", "ts", F.posexplode("sig").alias("band_id", "band_hash"))
         .filter(F.col("band_hash").isNotNull())
