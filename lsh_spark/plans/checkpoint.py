@@ -106,6 +106,32 @@ class CheckpointStore:
             return self.read(spark, stage)
         return self.write(thunk(), stage)
 
+    def append(self, df: DataFrame, stage: str) -> DataFrame:
+        """APPEND rows to an existing plain stage — the non-bucketed delta
+        fold-in primitive: the batch lands as new part files next to the
+        stage's committed ones, so folding a delta into the index costs
+        O(delta), never the read-union-rewrite O(corpus) that ``write``
+        of a union implies (at 10^12 rows the rewrite IS the ingest cost).
+        Falls back to ``write`` when the stage does not exist yet.
+
+        Crash safety matches ``write``: task files are committed through
+        the Hadoop commit protocol (renamed out of ``_temporary`` only at
+        job commit), so a crash mid-append leaves the previously committed
+        stage intact plus an ignorable ``_temporary`` dir — the delta
+        simply re-runs. Iceberg mode appends a snapshot."""
+        spark = df.sparkSession
+        if not self.exists(stage, spark):
+            return self.write(df, stage)
+        stamped = (df.withColumn("_run_id", F.lit(self.run_id))
+                     .withColumn("_stage", F.lit(stage))
+                     .withColumn("_part_id", F.spark_partition_id()))
+        if self._iceberg(spark):
+            stamped.writeTo(self._table(stage)).append()
+        else:
+            stamped.write.mode("append").parquet(self._path(stage))
+        self._log(stage)
+        return self.read(spark, stage)
+
     def write_bucketed(self, df: DataFrame, stage: str,
                        bucket_cols: tuple[str, ...] = ("doc_id",),
                        n_buckets: int = 16) -> DataFrame:

@@ -319,8 +319,14 @@ def incremental_dedup(spark: SparkSession, new_docs: DataFrame,
             store.append_bucketed(new_bands, bands_stage,
                                   ("band_hash",), n_buckets)
         else:
-            store.write(index_hashes.unionByName(new_hashes), hashes_stage)
-            store.write(index_bands.unionByName(new_bands), bands_stage)
+            # O(delta) fold-in for the plain store too: append the batch's
+            # part files next to the committed stage instead of reading and
+            # rewriting the whole index per delta (round 5 unioned + rewrote
+            # — an O(corpus) write inside every steady-state ingest). Stage
+            # contents are identical (old ∪ new rows); the hashes-before-
+            # bands crash ordering is preserved.
+            store.append(new_hashes, hashes_stage)
+            store.append(new_bands, bands_stage)
     return flags
 
 

@@ -87,13 +87,13 @@ def test_incremental_dedup_commits_hashes_before_bands(spark, tmp_path,
         minhash.minhash_signatures(hashes, cfg), cfg), "band_buckets")
 
     order: list[str] = []
-    real_write = CheckpointStore.write
+    real_append = CheckpointStore.append
 
     def spy(self, df, stage):
         order.append(stage)
-        return real_write(self, df, stage)
+        return real_append(self, df, stage)
 
-    monkeypatch.setattr(CheckpointStore, "write", spy)
+    monkeypatch.setattr(CheckpointStore, "append", spy)
     batch = spark.createDataFrame([("n1", "a b c d e g")],
                                   "doc_id string, text string")
     incremental_dedup(spark, batch, store, cfg,

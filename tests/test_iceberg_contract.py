@@ -159,6 +159,39 @@ def test_iceberg_branch_contract(monkeypatch, spark, tmp_path):
     assert store.read_bucketed(spark, "stage_b").count() == 4
     assert len(state[tb].snapshots) == 2  # append == new snapshot too
 
+    # -- plain-stage delta fold-in: append() on an existing stage is a bare
+    # snapshot append too (the O(delta) non-bucketed ingest primitive)
+    n_before = len(calls)
+    store.append(df2, "stage_a")
+    assert [(c[1]) for c in calls[n_before:] if c[0] == t] == ["append"]
+    assert store.read(spark, "stage_a").count() == 2
+    assert len(state[t].snapshots) == 3
+
+
+def test_plain_append_parquet_fallback(spark, tmp_path):
+    """Parquet fallback of ``append``: an existing stage gains the batch's
+    rows as extra part files (read = old ∪ new, commit marker intact), and
+    appending to a MISSING stage falls back to a full write."""
+    import os
+    store = CheckpointStore(str(tmp_path / "ck3"))
+    df = spark.createDataFrame(
+        [("d1", 1), ("d2", 2)], "doc_id string, v int")
+    df2 = spark.createDataFrame([("d9", 9)], "doc_id string, v int")
+
+    out = store.append(df, "stage_p")          # missing → write fallback
+    assert store.exists("stage_p", spark)
+    assert out.count() == 2
+    store.append(df2, "stage_p")               # existing → O(delta) append
+    got = {(r["doc_id"], r["v"])
+           for r in store.read(spark, "stage_p").collect()}
+    assert got == {("d1", 1), ("d2", 2), ("d9", 9)}
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "ck3"), "stage_p", "_SUCCESS"))
+    # resume still reuses the committed stage, never recomputes
+    def boom():
+        raise AssertionError("resume must not recompute a committed stage")
+    assert store.get_or_compute(spark, "stage_p", boom).count() == 3
+
 
 def test_iceberg_branch_not_selected_without_conf(spark, tmp_path):
     """A catalog NAME alone must not flip the branch — only a configured
