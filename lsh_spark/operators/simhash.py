@@ -222,6 +222,16 @@ def simhash_candidate_pairs(sh: DataFrame, cfg: DedupConfig,
              .select("doc_id",
                      F.posexplode("_keys").alias("chunk_id", "chunk_val")))
     key_cols = ["chunk_id", "chunk_val"]
+    if not all_pairs:
+        # materialize the exploded key table once, mirroring the MinHash
+        # band path (lsh_bands.candidate_pairs): the capped path scans it
+        # for the census AND both membership splits, and each re-derivation
+        # re-runs the 20-key combo build + the 20× posexplode fan-out
+        # (measured at turn granularity: three 9.2M-row Generate nodes in
+        # one pair query, ~1-1.5 s each — the narrow (chunk_id, chunk_val,
+        # doc_id) rows are far cheaper to rescan than to rebuild). The
+        # oracle-exact all_pairs branch keeps its original two-scan plan.
+        keyed = keyed.localCheckpoint()
     rows = (all_pair_rows(keyed, key_cols) if all_pairs
             else capped_pair_rows(keyed, key_cols, cfg))
     cand = rows.select("doc_a", "doc_b").distinct()
