@@ -117,13 +117,24 @@ def test_capped_pairs_hot_split_is_broadcast(spark):
         "doc_id string, text string")
     hashes = shingle.doc_shingle_hashes(docs, cfg)
     bands = lsh_bands.band_buckets(minhash.minhash_signatures(hashes, cfg), cfg)
-    plan = plan_of(capped_pair_rows(bands, ["band_id", "band_hash"], cfg))
-    # round 6 shape: BOTH membership splits (multi-member and hot) are
-    # broadcast SEMI joins against the checkpointed census — singleton
-    # buckets never reach the grouping shuffle, and keyed rows are never
-    # sort-merged against the census
-    assert plan.count("BroadcastHashJoin") >= 2
-    assert plan.count("LeftSemi") >= 2
+    from lsh_spark.operators.skew import _tagged_members, bucket_census
+    sized = (bucket_census(bands, ["band_id", "band_hash"], cfg)
+             .filter("bucket_size >= 2"))
+    plan = plan_of(_tagged_members(bands, sized,
+                                   ["band_id", "band_hash"], "doc_id"))
+    # round 6 shape: membership is ONE broadcast INNER join attaching
+    # bucket_size from the checkpointed census (the census has one row per
+    # key, so no duplication); small/hot are filters over the materialized
+    # multi-member subset. Singleton buckets never reach the grouping
+    # shuffle, and keyed rows are never sort-merged against the census.
+    # (Inside capped_pair_rows this subtree sits behind an eager
+    # checkpoint, so its join shape is pinned here directly.)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # (the star branch's hot⋈hot_min join shows as SortMergeJoin in the
+    # pre-execution plan only because the checkpoint-scan filters carry no
+    # stats; AQE converts it at runtime — both sides are ≤ the hot-key
+    # row count by construction)
 
 
 def test_search_probe_broadcasts_probe_side(spark):
