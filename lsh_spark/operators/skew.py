@@ -84,47 +84,34 @@ def capped_pair_rows(keyed: DataFrame, key_cols: list[str], cfg: DedupConfig,
     Buckets larger than ``cap`` (default ``cfg.hot_bucket_cap``) emit
     star edges (bucket-min → member) instead of the full k²/2 expansion.
 
-    Plan shape: the census output is immediately filtered to HOT keys only
-    (count > cap) — in real corpora that is a tiny relation (boilerplate
-    keys), while the census input has ~one row per (doc, key). Routing
-    membership through broadcast semi/anti joins on that tiny set keeps the
-    whole split map-side; the naive alternative (join every keyed row back
-    to its bucket size) is a full N×N sort-merge join that at 17M band
-    rows cost 4× the census itself. If the hot-key set ever exceeds the
-    broadcast threshold Catalyst falls back to a shuffle join on its own —
-    correctness is unaffected. AQE skew-join splitting stays on as the
-    backstop for the pair self-join (session.py).
+    Plan shape: the census (one partially-aggregated groupBy, guide §2.3)
+    yields ~one row per multi-member key — a small relation, since the
+    overwhelming majority of keys are singletons (measured 88-96% at
+    sf0.1) that can never produce a pair. ONE broadcast inner join
+    attaches bucket_size to the keyed rows (the census has one row per
+    key, so no duplication), and the materialized multi-member subset
+    (~5-12% of keyed rows) feeds the small/hot splits as plain filters —
+    the full keyed table is scanned ONCE for membership, and singletons
+    never reach the collect_list exchange. The naive alternative (join
+    every keyed row back to its bucket size without stats) was a full
+    N×N sort-merge join that at 17M band rows cost 4× the census itself.
+    If the multi-member key set ever outgrows the broadcast threshold
+    Catalyst falls back to a shuffle join on its own — correctness is
+    unaffected. AQE skew-join splitting stays on as the backstop
+    (session.py).
     """
     cap = cap if cap is not None else cfg.hot_bucket_cap
-    # materialize the MULTI-MEMBER census rows once (bucket_size >= 2):
-    #  * singleton buckets — the overwhelming majority (measured 93-96%
-    #    of band/chunk/gram keys at sf0.1) — can never produce a pair,
-    #    so routing membership through a broadcast SEMI join on the
-    #    multi-member keys drops them BEFORE the collect_list exchange
-    #    (guide §2.3 — shuffle fewer bytes: the grouping shuffle now
-    #    carries ~5% of the keyed rows), where round 5 shipped every row
-    #    and filtered size>=2 only after aggregating 1M+ tiny groups;
-    #  * the checkpoint means the census aggregation runs ONCE even
-    #    though its output feeds four joins below (without it each
-    #    broadcast build re-ran the census over the full keyed table).
-    # If the multi-member key set ever outgrows the broadcast threshold
-    # Catalyst falls back to a shuffle semi-join on its own — the groupBy
-    # after it is keyed identically, so the exchange is shared, and
-    # correctness is unaffected.
+    # census not checkpointed: its single consumer is the tagged join's
+    # broadcast build, so a separate materialization would only add a
+    # barrier job per pass
     sized = (bucket_census(keyed, key_cols, cfg, id_col=id_col)
-             .filter(F.col("bucket_size") >= 2)
-             .localCheckpoint())
-    # ONE membership scan instead of three: the census has exactly one row
-    # per key, so an inner broadcast join attaches bucket_size without
-    # duplicating rows (≡ the former left_semi on the multi-member keys),
-    # and the small/hot splits become plain filters over the materialized
-    # multi-member subset (~5-7% of keyed rows at sf0.1). Round 6 scanned
-    # the full keyed table once per split — small semi-join, hot semi-join
-    # for the star-min build, hot semi-join again for the star edges — each
-    # scan re-probing a broadcast against every keyed row. If ``sized``
-    # ever outgrows the broadcast threshold Catalyst falls back to a
-    # shuffle join keyed like the groupBy below (shared exchange);
-    # correctness is unaffected.
+             .filter(F.col("bucket_size") >= 2))
+    # ONE membership scan instead of three (round-6 mid-round shape:
+    # small semi-join + hot semi-join for the star-min build + hot
+    # semi-join again for the star edges, each re-probing a broadcast
+    # against every keyed row); the checkpoint bounds re-execution — the
+    # three consumers below (small groupBy, star-min build, star join)
+    # rescan the small tagged subset instead of the keyed table
     tagged = _tagged_members(keyed, sized, key_cols, id_col).localCheckpoint()
     small = tagged.filter(F.col("bucket_size") <= cap) \
                   .select(*key_cols, id_col)
