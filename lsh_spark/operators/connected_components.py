@@ -54,7 +54,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 50,
         .localCheckpoint()
     )
     if edges.count() <= small_graph_edges:
-        edges = edges.coalesce(small_graph_partitions).localCheckpoint()
+        # no second checkpoint: coalesce over the already-materialized
+        # edge set is a narrow re-read, so each iteration pays a cheap
+        # partition merge instead of the loop paying one extra full
+        # materialization job up front
+        edges = edges.coalesce(small_graph_partitions)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -131,7 +135,8 @@ def connected_components_star(pairs: DataFrame, max_rounds: int = 30,
         .localCheckpoint()
     )
     if edges.count() <= small_graph_edges:
-        edges = edges.coalesce(small_graph_partitions).localCheckpoint()
+        # narrow re-read of the checkpoint, see connected_components
+        edges = edges.coalesce(small_graph_partitions)
 
     members = (edges.select(F.col("src").alias("doc_id"))
                .unionByName(edges.select(F.col("dst").alias("doc_id")))
