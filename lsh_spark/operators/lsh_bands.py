@@ -10,9 +10,11 @@ once, ``lsh.py:307-308`` — SURVEY.md Q5).
 
 Scale design (north_rule: "band hashes grouped via salted groupBy to defuse
 hot-bucket skew"):
- * bucket sizes are computed with a two-phase salted aggregation — partial
-   counts on (band_id, band_hash, salt), then merged — so one pathological
-   band hash (boilerplate text) cannot pin a single reducer;
+ * bucket sizes are computed with one partially-aggregated groupBy —
+   map-side combine bounds a pathological band hash's (boilerplate text)
+   reduce fan-in by the map-task count, which is the same bound the
+   round-5 explicit salt phase provided at the cost of a second full
+   aggregation (operators/skew.py, bucket_census docstring);
  * buckets larger than ``hot_bucket_cap`` are NOT expanded into O(k²) pairs;
    each member is linked to the bucket's minimum doc_id instead (a star).
    For clustering this is lossless — the star connects exactly the same

@@ -11,9 +11,10 @@ The defusal (north_rule: "band hashes grouped via salted groupBy to defuse
 hot-bucket skew"), factored here so MinHash bands, SimHash chunks, the
 substring gram join and the winnow overlap join all share it:
 
- 1. ``bucket_census`` — bucket sizes via an explicit two-phase salted
-    aggregation: partial counts on (key..., salt) spread a mega-bucket's
-    reduce work over ``salt_buckets`` reducers before the final merge.
+ 1. ``bucket_census`` — bucket sizes via one partially-aggregated
+    groupBy (map-side combine bounds a mega-key's reduce fan-in by the
+    map-task count; the round-5 explicit salt phase was measured
+    redundant for a pure count and removed — see the function docstring).
  2. ``capped_pair_rows`` — buckets ≤ cap expand into all pairs; buckets
     > cap are star-linked (every member → the bucket's min doc_id):
     k-1 edges instead of k²/2, connecting exactly the same component.

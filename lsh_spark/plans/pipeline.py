@@ -202,7 +202,7 @@ def incremental_dedup_flags(new_docs: DataFrame, index_bands: DataFrame,
 
     Skew: an index bucket holding k ≫ cap members (boilerplate) would emit
     k rows per colliding new doc; buckets above ``cfg.hot_bucket_cap`` are
-    collapsed to their min-doc representative (census via the shared salted
+    collapsed to their min-doc representative (census via the shared
     skew module) — the flag still fires against a genuine key-sharer and
     the verifier still checks it exactly.
 
