@@ -42,6 +42,10 @@ TIERS = {
     "xxl": 1800000,   # scaling-gate tier (~16.4M turns): 4x xl so the
                       # fixed per-run terms (~5-7 s scheduler+planning)
                       # fall under 3% of the 4N-arm wall
+    "xxxl": 7200000,  # gate-closure tier (~65M turns): 4x xxl — the next
+                      # doubling the round-5 Amdahl decomposition
+                      # (s ≈ 34-47 s fixed term) predicts raw 3v12
+                      # efficiency ≥ 0.8 at
 }
 SF_TO_TIER = {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "bench"}
 
