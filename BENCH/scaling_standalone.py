@@ -76,10 +76,16 @@ SPARK_HOME = os.path.dirname(os.path.abspath(pyspark.__file__))
 SPARK_CLASS = os.path.join(SPARK_HOME, "bin", "spark-class")
 MASTER_URL = "spark://127.0.0.1:7077"
 WORK_ROOT = "/tmp/lsh-standalone"
-LOCAL_DIRS = "/dev/shm/lsh-standalone-local"
+LOCAL_DIRS = os.environ.get("LSH_STANDALONE_LOCAL_DIRS",
+                            "/dev/shm/lsh-standalone-local")
 
 N_WORKERS = 4
-EXECUTOR_MEM = "10g"
+EXECUTOR_MEM = os.environ.get("LSH_STANDALONE_EXEC_MEM", "10g")
+# shuffle width: fixed in BOTH arms (same physical plan); default 48 as in
+# the canonical xl/xxl records. A 4x-larger tier pins 4x the width (what a
+# production job does as data grows) so per-task state stays at the proven
+# xl/xxl level instead of OOMing the single N-arm executor.
+SHUFFLE_PARTITIONS = int(os.environ.get("LSH_STANDALONE_SHUFFLE", "48"))
 PIN = os.environ.get("LSH_STANDALONE_NO_PIN") != "1"
 DRIVER_CPUS = "24-29"
 MASTER_CPUS = "30-31"
@@ -133,7 +139,8 @@ def start_cluster(cores_per_worker: int) -> list[subprocess.Popen]:
         block = f"{i * cores_per_worker}-{(i + 1) * cores_per_worker - 1}"
         procs.append(launch(
             "org.apache.spark.deploy.worker.Worker", MASTER_URL,
-            "--cores", str(cores_per_worker), "--memory", "12g",
+            "--cores", str(cores_per_worker),
+            "--memory", os.environ.get("LSH_STANDALONE_WORKER_MEM", "12g"),
             "--port", str(7100 + i), "--webui-port", str(8200 + i),
             "--work-dir", os.path.join(WORK_ROOT, f"worker{i}"),
             log=os.path.join(WORK_ROOT, f"worker{i}.log"),
@@ -159,7 +166,7 @@ def run_once(cores_max: int, cores_per_worker: int, path: str,
     n_exec = cores_max // cores_per_worker
     spark = get_spark(
         f"standalone_{cores_max}_{time.monotonic_ns() % 9973}",
-        cores=cores_max, shuffle_partitions=48, master=MASTER_URL,
+        cores=cores_max, shuffle_partitions=SHUFFLE_PARTITIONS, master=MASTER_URL,
         extra_conf={
             "spark.executor.cores": str(cores_per_worker),
             "spark.executor.memory": EXECUTOR_MEM,
@@ -261,6 +268,8 @@ def main():
         "efficiency": best["efficiency"],
         "turns_per_sec_4n": round(turns / best["sec_4n"], 1),
         "local_dirs": LOCAL_DIRS,
+        "shuffle_partitions": SHUFFLE_PARTITIONS,
+        "executor_memory": EXECUTOR_MEM,
         "note": ("1 vs 4 executor JVMs per pair, identical pinned "
                  "executor shape; each worker JVM (and its inherited "
                  "executor + Python children) taskset-pinned to its own "
